@@ -1,0 +1,40 @@
+"""URL column functions (S4–S6) — pure built-in regexp chains, zero Python.
+
+Reference semantics:
+  S4 normalize: strip #fragment, strip leading `www.` after the scheme,
+     strip one trailing `/`                 (utils/UrlUtils.java:16-34)
+  S5 path: url minus `scheme://host` prefix; empty → "/"
+                                            (utils/UrlUtils.java:36-41)
+  S6 site name: host minus `www.`, first label, capitalized
+                                            (utils/UrlUtils.java:43-60)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_url(c: Column) -> Column:
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"^(https?://)www\.", "$1")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def url_host(c: Column) -> Column:
+    """Host without www. — the engine's site/partition key (replaces the
+    reference's site_id FK; SURVEY §1.3)."""
+    return F.regexp_replace(
+        F.regexp_extract(c, r"^https?://([^/#?]+)", 1), r"^www\.", "")
+
+
+def url_path(c: Column) -> Column:
+    p = F.regexp_replace(c, r"^https?://[^/#?]+", "")
+    p = F.regexp_replace(p, r"#.*$", "")
+    return F.when(F.length(p) == 0, F.lit("/")).otherwise(p)
+
+
+def site_name(c: Column) -> Column:
+    """First label of the host, initial-capitalized (UrlUtils.java:43-60)."""
+    label = F.regexp_extract(url_host(c), r"^([^.]+)", 1)
+    return F.concat(F.upper(F.substring(label, 1, 1)), F.substring(label, 2, 2147483647))

@@ -1,0 +1,99 @@
+"""Inverted-index construction (reference indexing path, SURVEY §3.2).
+
+The reference builds its index one page at a time with ~3 MySQL round
+trips per distinct lemma per page (utils/PageIndexingUtils.java:128-159,
+the N+1 pattern). Here the whole build is three Catalyst-planned jobs:
+
+  postings_flat : docs → tokenize → explode → groupBy(doc,term).count()
+                  (A1: per-page tf, ref utils/PageIndexingUtils.java:119-126)
+  terms         : groupBy(term) → df=countDistinct(doc), cf=sum(tf)
+                  (A2/A3: ref utils/PageIndexingUtils.java:134 and
+                   repository/IndexRepository.java:37-39 — exact, not
+                   approximate, because IDF must be score-identical)
+  meta          : N = countDistinct(doc) over postings — counts only
+                  index-participating docs, i.e. docs whose text tokenizes
+                  to ≥1 term (A4: ref repository/IndexRepository.java:46-47)
+
+Scale notes (10^12 docs, 1000 executors):
+  * tokenize+explode+count is map-side-combinable: Spark's hash aggregate
+    does partial aggregation per task before the single shuffle on
+    (doc_id, term). No Python in the hot path — `tokens()` is built-ins.
+  * `terms` re-shuffles by term; stopword terms are heavy but the
+    aggregation value is two longs, so skew is benign here. Skew matters
+    for the *physical posting layout*, handled by salted repartition in
+    operators/codec.py + build_posting_blocks below.
+  * df/cf are computed once at build time and persisted — the reference
+    recomputes df per query (4 SQL round trips per search); we read a
+    broadcast-sized dictionary instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textprep import tokens
+
+
+def postings_flat(docs: DataFrame, doc_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) — the relational inverted index.
+
+    One shuffle (partial+final hash agg). Equivalent of the reference's
+    `search_index` table rows (model/IndexEntity.java:10-26) where
+    rank_value is the per-page term count stored as float.
+    """
+    return (
+        docs.select(F.col(doc_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, doc_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, dl) token count per doc — needed by BM25 length norm."""
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, df, cf): document frequency + collection frequency.
+
+    df is exact COUNT(DISTINCT doc) — but since postings_flat already has
+    one row per (doc, term), df == COUNT(*) within a term group, which
+    Catalyst executes as a cheap partial+final count with NO distinct
+    shuffle. cf mirrors the reference's lemma.frequency accumulation
+    (utils/PageIndexingUtils.java:134).
+    """
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+def corpus_size(postings: DataFrame) -> int:
+    """A4: N = number of docs with ≥1 indexed term (NOT all doc rows —
+    ref repository/IndexRepository.java:46-47 counts over search_index)."""
+    return postings.select("doc_id").distinct().count()
+
+
+@dataclass
+class IndexStats:
+    n_docs: int        # index-participating docs (A4 semantics)
+    avgdl: float       # average doc length over participating docs
+    n_terms: int       # distinct terms
+
+
+def build_index_frames(docs: DataFrame, doc_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Slice-2 logical index: (postings, terms, doclens). Callers persist
+    or write these; the physical block layout is operators/codec.py +
+    jobs/build_index.py."""
+    p = postings_flat(docs, doc_col, text_col)
+    return p, term_stats(p), doc_lengths(docs, doc_col, text_col)
