@@ -1,0 +1,42 @@
+"""Pages-table source adapter (S2/S7 equivalents, SURVEY §1.3).
+
+Input per BASELINE.json input_hint: a table (url, warc_ts, html:binary,
+text, lang). This module derives the engine's document identity and
+site columns:
+
+  url_norm — S4 normalization (utils/UrlUtils.java:16-34)
+  host     — replaces the reference's site_id FK; partition/pruning key
+  doc_id   — xxhash64(url_norm): stable 64-bit identity, computed
+             JVM-side (no Python), collision-safe at 10^12 docs within
+             birthday bounds the engine tolerates (dedup by url_norm
+             first makes ids unique per distinct page)
+  text     — filled from html via the Arrow UDF where null
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textprep import with_text
+from ..functions.urlutils import normalize_url, url_host, url_path
+
+
+def prepare_pages(raw: DataFrame) -> DataFrame:
+    """raw(url, warc_ts, html, text, lang) → + url_norm, host, path, doc_id.
+
+    Upsert semantics of the reference's page sink (S7, unique (site,path),
+    utils/PageIndexingUtils.java:73-111): if the same normalized url
+    appears more than once, the latest warc_ts row wins — expressed as a
+    max_by aggregation (one shuffle on url_norm), not a window sort.
+    """
+    p = raw.withColumn("url_norm", normalize_url(F.col("url")))
+    p = (p.groupBy("url_norm")
+         .agg(F.max_by(F.struct("url", "warc_ts", "html", "text", "lang"),
+                       "warc_ts").alias("r"))
+         .select("url_norm", "r.*"))
+    p = with_text(p)
+    return (p
+            .withColumn("host", url_host(F.col("url_norm")))
+            .withColumn("path", url_path(F.col("url_norm")))
+            .withColumn("doc_id", F.xxhash64(F.col("url_norm"))))
