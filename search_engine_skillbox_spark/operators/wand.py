@@ -1,0 +1,181 @@
+"""Block-max pruned top-k over the physical index (MaxScore/WAND family;
+north_rule: "top-k retrieval via block-max WAND scoring").
+
+Exact-by-construction two-pass scheme over per-block upper bounds
+UB(b) = max_tf(b) · idf(term(b)) (compat mode; BM25 uses the dl-free
+conservative tf-norm bound, operators/score.py):
+
+  pass 1  decode only the blocks of t* = argmax_t UBmax(t) and compute
+          per-doc PARTIAL scores (t* contribution alone). The k-th best
+          partial is a valid lower bound θ on the k-th best FINAL score
+          (partials underestimate; the true top-k each dominate their
+          own partial).
+  prune   a block b of term t ≠ t* may be skipped iff
+              UB(b) + Σ_{t'≠t} UBmax(t') < θ
+          Proof of exactness: for any doc e with true(e) ≥ θ and any
+          block b ∋ e of term t: true(e) ≤ UB(b) + Σ_{t'≠t} UBmax(t'),
+          so b survives — every final-top-k doc keeps ALL its
+          contributions; pruned docs' underestimated scores stay < θ ≤
+          k-th best, so they cannot displace anyone.
+  pass 2  decode surviving blocks, union with pass-1 rows,
+          groupBy(doc).sum → exact top-k.
+
+The prune compiles to a per-term `max_tf ≥ ceil((θ − Σ_other)/idf_t)`
+predicate — a plain column filter pushed into the parquet scan, so
+skipped blocks' binary columns are never read (row-group stats on
+max_tf do the skipping). Stopword terms (idf → 0) prune to nothing the
+moment θ > Σ UBmax of the cheap terms — the reference's worst case
+(every doc matches a stopword) costs us metadata only.
+
+Tests assert top-k identity vs the plain-DataFrame path (operators/
+query.py) on every fixture query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import score as S
+from .codec import decode_block
+from .index_store import IndexStore
+
+DECODED_SCHEMA = "doc_id long, term string, tf long"
+
+
+def _decode_blocks(batches):
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        ids_all, tf_all, term_all = [], [], []
+        for term, docs_b, tfs_b in zip(pdf["term"], pdf["docs"], pdf["tfs"]):
+            d, t = decode_block(docs_b, tfs_b)
+            ids_all.append(d)
+            tf_all.append(t)
+            term_all.append(np.repeat(term, d.size))
+        yield pd.DataFrame({
+            "doc_id": np.concatenate(ids_all),
+            "term": np.concatenate(term_all),
+            "tf": np.concatenate(tf_all),
+        })
+
+
+def decoded_postings(blocks: DataFrame) -> DataFrame:
+    """blocks → (doc_id, term, tf) via the Arrow-batched numpy decoder."""
+    return blocks.select("term", "docs", "tfs").mapInPandas(
+        _decode_blocks, DECODED_SCHEMA)
+
+
+def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
+              k: int, mode: str = "compat") -> DataFrame:
+    """Exact top-k (doc_id, score) using block-max pruning.
+
+    Returns the same rows as query.topk(candidate_scores(...), k) on the
+    flat postings — verified in tests/test_index_store.py.
+    """
+    if not q_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    meta = store.meta()
+    n_docs = meta["n_docs"]
+    tstats = {r["term"]: (r["df"], r["max_tf"])
+              for r in store.terms(spark)
+              .filter(F.col("term").isin(q_terms)).collect()}
+    present = [t for t in q_terms if t in tstats]
+    if not present:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    if mode == "compat":
+        idf = {t: S.idf_compat_py(tstats[t][0], n_docs) for t in present}
+        ubmax = {t: tstats[t][1] * idf[t] for t in present}
+    else:
+        idf = {t: S.idf_bm25_py(tstats[t][0], n_docs) for t in present}
+        ubmax = {t: S.upper_bound_bm25(tstats[t][1], idf[t]) for t in present}
+
+    qblocks = store.query_blocks(spark, present).persist()
+    try:
+        t_star = max(present, key=lambda t: ubmax[t])
+        others = [t for t in present if t != t_star]
+
+        idf_df = F.broadcast(spark.createDataFrame(
+            [(t, float(idf[t])) for t in present], "term string, idf double"))
+
+        def contributions(decoded: DataFrame) -> DataFrame:
+            c = decoded.join(idf_df, "term")
+            if mode == "compat":
+                w = S.tf_weight_compat(F.col("tf"))
+            else:
+                dls = store.doclens(spark)
+                c = c.join(dls, "doc_id")
+                w = S.tf_weight_bm25(F.col("tf"), F.col("dl"), meta["avgdl"])
+            return c.select("doc_id", (w * F.col("idf")).alias("contrib"))
+
+        # ---- pass 1: t* partials → θ
+        p1 = contributions(
+            decoded_postings(qblocks.filter(F.col("term") == t_star)))
+        p1 = p1.persist()
+        theta_rows = (p1.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+                      .orderBy(F.desc("s")).limit(k).collect())
+        theta = theta_rows[-1]["s"] if len(theta_rows) >= k else float("-inf")
+
+        if not others:
+            out = (p1.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+                   .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+            return spark.createDataFrame(out.collect(),
+                                         "doc_id long, score double")
+
+        # ---- prune predicate per other term (pushed into the scan)
+        sum_all = sum(ubmax[t] for t in present)
+        keep = None
+        for t in others:
+            sum_other = sum_all - ubmax[t]
+            if mode == "compat":
+                # UB(b) = max_tf · idf_t ≥ θ − Σ_other
+                if idf[t] <= 0:
+                    continue  # zero contribution — exact skip
+                min_maxtf = (theta - sum_other) / idf[t]
+            else:
+                # invert the conservative bm25 bound analytically:
+                # bound(m) = idf·m·A/(m+C), A=k1+1, C=k1(1−b), monotone in m
+                lo = theta - sum_other
+                A = S.K1_DEFAULT + 1.0
+                C = S.K1_DEFAULT * (1.0 - S.B_DEFAULT)
+                if lo <= 0:
+                    min_maxtf = 0.0
+                elif idf[t] * A - lo <= 0:
+                    min_maxtf = tstats[t][1] + 1  # sup(bound) < lo: skip all
+                else:
+                    min_maxtf = lo * C / (idf[t] * A - lo)
+            cond = (F.col("term") == t) & (F.col("max_tf") >= float(min_maxtf))
+            keep = cond if keep is None else (keep | cond)
+
+        if keep is None:
+            survivors = qblocks.filter(F.lit(False))
+        else:
+            survivors = qblocks.filter(keep)
+        p2 = contributions(decoded_postings(survivors))
+
+        out = (p1.unionAll(p2)
+               .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+               .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+        rows = out.collect()
+
+        # Zero tier: the reference's OR semantics admits docs whose every
+        # matched term has idf 0 (score 0.0) as real results
+        # (SearchServiceImpl.java:139-160 — any match scores). Pruning is
+        # only exact while the k-th score is strictly positive; once k
+        # reaches the zero tier, fall back to exhaustive decode (exact,
+        # and rare: only when fewer than k docs score > 0).
+        if len(rows) < k or (rows and rows[-1]["score"] <= 0):
+            rows = (contributions(decoded_postings(qblocks))
+                    .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                    .collect())
+        return spark.createDataFrame(rows, "doc_id long, score double")
+    finally:
+        qblocks.unpersist()
+        try:
+            p1.unpersist()
+        except Exception:
+            pass

@@ -1,0 +1,121 @@
+"""Physical index: codec roundtrip through Spark, salted skew handling,
+WAND top-k identity vs the plain-DataFrame path, resumable build."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_skillbox_spark.operators import build as B
+from search_engine_skillbox_spark.operators import query as Q
+from search_engine_skillbox_spark.operators.index_store import IndexStore
+from search_engine_skillbox_spark.operators.wand import (
+    decoded_postings, wand_topk)
+
+
+@pytest.fixture(scope="module")
+def store(spark, prepared, tmp_path_factory):
+    st = IndexStore(str(tmp_path_factory.mktemp("idx")), n_buckets=8,
+                    salt_threshold=50)  # tiny threshold → real salting
+    st.build(spark, prepared, build_id="t1", checkpoint_groups=2)
+    return st
+
+
+def _flat(df):
+    return {(r["doc_id"], r["term"]): r["tf"] for r in df.collect()}
+
+
+def test_blocks_roundtrip(spark, store, index_frames):
+    postings, _, _ = index_frames
+    got = _flat(decoded_postings(store.blocks(spark)))
+    want = _flat(postings)
+    assert got == want
+
+
+def test_salting_applied(spark, store, index_frames):
+    """Heavy terms (df>50) must be split across >1 salt."""
+    _, terms, _ = index_frames
+    heavy = [r["term"] for r in terms.filter(F.col("df") > 50).collect()]
+    assert heavy, "fixture must contain heavy terms"
+    salts = (store.blocks(spark).filter(F.col("term").isin(heavy))
+             .groupBy("term").agg(F.countDistinct("salt").alias("s")).collect())
+    assert all(r["s"] > 1 for r in salts)
+    light = (store.blocks(spark).filter(~F.col("term").isin(heavy))
+             .select("salt").distinct().collect())
+    assert [r["salt"] for r in light] == [0]
+
+
+def test_terms_and_meta(spark, store, index_frames, oracle):
+    _, terms, _ = index_frames
+    got = {r["term"]: (r["df"], r["cf"], r["max_tf"])
+           for r in store.terms(spark).collect()}
+    for r in terms.collect():
+        assert got[r["term"]][:2] == (r["df"], r["cf"])
+    assert store.meta()["n_docs"] == oracle.n_docs
+    # per-block max_tf really is the max of the block
+    blk = store.blocks(spark).limit(50).collect()
+    from search_engine_skillbox_spark.operators.codec import decode_block
+    for b in blk:
+        _, tfs = decode_block(b["docs"], b["tfs"])
+        assert b["max_tf"] == int(tfs.max()) and b["n"] == len(tfs)
+
+
+@pytest.mark.parametrize("mode", ["compat", "bm25"])
+@pytest.mark.parametrize("k", [5, 10, 50])
+def test_wand_equals_plain(spark, store, index_frames, oracle, mode, k, qterms_idx):
+    p, t, dls = index_frames
+    n = B.corpus_size(p)
+    q = qterms_idx
+    if mode == "compat":
+        plain = Q.candidate_scores(p, t, n, q, "compat")
+    else:
+        part = dls.filter(F.col("dl") > 0)
+        avgdl = float(part.agg(F.avg("dl")).first()[0])
+        plain = Q.candidate_scores(p, t, n, q, "bm25", doclens=part, avgdl=avgdl)
+    want = [(r["doc_id"], r["score"])
+            for r in Q.topk(plain, k).collect()]
+    got = [(r["doc_id"], r["score"])
+           for r in wand_topk(spark, store, q, k, mode).collect()]
+    assert len(got) == len(want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd, gs, ws)
+
+
+@pytest.fixture(scope="module")
+def qterms_idx(oracle):
+    by_df = sorted(oracle.df.items(), key=lambda kv: (kv[1], kv[0]))
+    rare = next(t for t, d in by_df if d == 1)
+    mid = [t for t, d in by_df if 5 <= d <= oracle.n_docs // 2]
+    from search_engine_skillbox_spark.sources.corpus import STOPWORDS
+    heavy = max(STOPWORDS, key=lambda t: oracle.df.get(t, 0))
+    return [heavy, mid[len(mid) // 2], rare]
+
+
+def test_wand_single_and_absent(spark, store, qterms_idx):
+    got = wand_topk(spark, store, [qterms_idx[2]], 10).collect()
+    assert len(got) >= 1
+    assert wand_topk(spark, store, ["zzzabsent"], 10).count() == 0
+    assert wand_topk(spark, store, [], 10).count() == 0
+
+
+def test_resume(spark, prepared, index_frames, tmp_path):
+    """Kill after group 0 committed → restart skips g0 and completes with an
+    index identical to a clean build (SURVEY §5.5)."""
+    st = IndexStore(str(tmp_path / "idx"), n_buckets=8, salt_threshold=50)
+    with pytest.raises(RuntimeError, match="synthetic failure"):
+        st.build(spark, prepared, build_id="r1", checkpoint_groups=4,
+                 fail_after_group=1)
+    from search_engine_skillbox_spark.plans.checkpoint import Lineage
+    import os
+    lin = Lineage(os.path.join(st.path, "lineage.jsonl"))
+    assert lin.done_partitions("r1") == {"blocks-g0"}
+    st.build(spark, prepared, build_id="r1", checkpoint_groups=4)
+    done = lin.done_partitions("r1")
+    assert {"blocks-g0", "blocks-g1", "blocks-g2", "blocks-g3", "dims"} <= done
+    # g0 ran exactly once (resume skipped it)
+    runs = [r for r in lin.load()
+            if r["partition_id"] == "blocks-g0" and r["status"] == "RUNNING"]
+    assert len(runs) == 1
+    postings, _, _ = index_frames
+    assert _flat(decoded_postings(st.blocks(spark))) == _flat(postings)
