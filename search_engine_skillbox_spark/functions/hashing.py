@@ -1,0 +1,75 @@
+"""Driver-side XXH64 matching Spark's `F.xxhash64` (seed 42) bit-for-bit.
+
+Lets the query planner compute a term's bucket  pmod(xxhash64(term), B)
+without any Spark job — the blocks scan is then partition-pruned purely
+from the query string (verified against F.xxhash64 in tests).
+
+Implementation from the public xxHash spec (XXH64); for StringType
+Spark hashes the UTF-8 bytes with seed 42.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i <= n - 32:
+            a, b, c, d = struct.unpack_from("<QQQQ", data, i)
+            v1 = (_rotl((v1 + a * _P2) & _M, 31) * _P1) & _M
+            v2 = (_rotl((v2 + b * _P2) & _M, 31) * _P1) & _M
+            v3 = (_rotl((v3 + c * _P2) & _M, 31) * _P1) & _M
+            v4 = (_rotl((v4 + d * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _P2) & _M, 31) * _P1) & _M)) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i <= n - 8:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = ((_rotl(h ^ ((_rotl((k * _P2) & _M, 31) * _P1) & _M), 27) * _P1) + _P4) & _M
+        i += 8
+    if i <= n - 4:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = ((_rotl(h ^ ((k * _P1) & _M), 23) * _P2) + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M), 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64_str(s: str) -> int:
+    """Signed-int64 value equal to Spark's xxhash64(string_col)."""
+    v = xxh64(s.encode("utf-8"), 42)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """pmod(xxhash64(term), n_buckets) — Spark's pmod of the signed value."""
+    return spark_xxhash64_str(term) % n_buckets

@@ -110,9 +110,13 @@ class IndexStore:
         lineage = Lineage(os.path.join(self.path, "lineage.jsonl"))
         done = lineage.done_partitions(build_id)
 
-        postings, terms, doclens = build_index_frames(prepared)
+        postings, terms, _ = build_index_frames(prepared)
         postings = postings.persist()
         terms = terms.persist()
+        # dl = Σ tf from postings — avoids re-tokenizing the whole corpus;
+        # zero-term docs have no postings and BM25 never weights them
+        doclens = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("int").alias("dl"))
 
         bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets))
 
@@ -177,15 +181,21 @@ class IndexStore:
                              "text", "lang")
              .write.mode("overwrite").parquet(os.path.join(self.path, "docs")))
             n_docs = postings.select("doc_id").distinct().count()
+            host_posts = postings.join(
+                prepared.select("doc_id", "host"), "doc_id").persist()
             per_host = {r["host"]: r["n"] for r in
-                        (postings.join(prepared.select("doc_id", "host"),
-                                       "doc_id")
-                         .groupBy("host")
-                         .agg(F.countDistinct("doc_id").alias("n"))
-                         .collect())}
+                        host_posts.groupBy("host")
+                        .agg(F.countDistinct("doc_id").alias("n"))
+                        .collect()}
+            terms_by_host = {r["host"]: r["n"] for r in
+                             host_posts.groupBy("host")
+                             .agg(F.countDistinct("term").alias("n"))
+                             .collect()}
+            host_posts.unpersist()
             avgdl = (doclens.filter(F.col("dl") > 0)
                      .agg(F.avg("dl")).first()[0])
             meta = {"n_docs": n_docs, "n_docs_by_host": per_host,
+                    "n_terms_by_host": terms_by_host,
                     "avgdl": float(avgdl or 0.0),
                     "n_buckets": self.n_buckets,
                     "salt_threshold": self.salt_threshold,
@@ -217,15 +227,24 @@ class IndexStore:
         return spark.read.parquet(os.path.join(self.path, "docs"))
 
     def query_blocks(self, spark: SparkSession, q_terms: list[str]) -> DataFrame:
-        """Blocks of the query terms with partition pruning: the bucket
-        values come from a tiny scan of the terms table (itself pruned by
-        the term predicate), then the blocks scan prunes bucket dirs AND
-        pushes the term filter into parquet row groups."""
-        tdf = self.terms(spark).filter(F.col("term").isin(q_terms))
-        buckets = [r["bucket"] for r in tdf.select("bucket").distinct().collect()]
+        """Blocks of the query terms with partition pruning. Buckets are
+        computed DRIVER-SIDE (functions/hashing.py reimplements Spark's
+        xxhash64 bit-for-bit) — zero Spark jobs to plan the scan; the
+        bucket predicate prunes partition dirs and the term predicate is
+        pushed into parquet row groups."""
+        from ..functions.hashing import term_bucket
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in q_terms})
         return (self.blocks(spark)
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("term").isin(q_terms)))
+
+    def query_terms_rows(self, spark: SparkSession, q_terms: list[str]):
+        """terms-table rows for the query terms, bucket-pruned the same way."""
+        from ..functions.hashing import term_bucket
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in q_terms})
+        return (self.terms(spark)
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(q_terms)).collect())
 
 
 def _dir_bytes(path: str) -> int:

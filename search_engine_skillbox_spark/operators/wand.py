@@ -68,6 +68,31 @@ def decoded_postings(blocks: DataFrame) -> DataFrame:
         _decode_blocks, DECODED_SCHEMA)
 
 
+def _decode_docids_only(batches):
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        from .codec import varint_decode
+        ids = []
+        for docs_b in pdf["docs"]:
+            deltas = varint_decode(docs_b)
+            z = deltas[0]
+            with np.errstate(over="ignore"):
+                first = np.int64((z >> np.uint64(1))
+                                 ^ (~(z & np.uint64(1)) + np.uint64(1)))
+            d = deltas.astype(np.int64)
+            d[0] = first
+            ids.append(np.cumsum(d))
+        yield pd.DataFrame({"doc_id": np.concatenate(ids)})
+
+
+def decoded_docids(blocks: DataFrame) -> DataFrame:
+    """blocks → (doc_id) only — skips tf decode; used for exact match
+    counts where tf is irrelevant."""
+    return blocks.select("docs").mapInPandas(_decode_docids_only,
+                                             "doc_id long")
+
+
 def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
               k: int, mode: str = "compat") -> DataFrame:
     """Exact top-k (doc_id, score) using block-max pruning.
@@ -80,8 +105,7 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
     meta = store.meta()
     n_docs = meta["n_docs"]
     tstats = {r["term"]: (r["df"], r["max_tf"])
-              for r in store.terms(spark)
-              .filter(F.col("term").isin(q_terms)).collect()}
+              for r in store.query_terms_rows(spark, q_terms)}
     present = [t for t in q_terms if t in tstats]
     if not present:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -111,19 +135,19 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
                 w = S.tf_weight_bm25(F.col("tf"), F.col("dl"), meta["avgdl"])
             return c.select("doc_id", (w * F.col("idf")).alias("contrib"))
 
-        # ---- pass 1: t* partials → θ
-        p1 = contributions(
-            decoded_postings(qblocks.filter(F.col("term") == t_star)))
-        p1 = p1.persist()
-        theta_rows = (p1.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
-                      .orderBy(F.desc("s")).limit(k).collect())
-        theta = theta_rows[-1]["s"] if len(theta_rows) >= k else float("-inf")
+        # ---- pass 1: t* partials → θ (aggregated once, reused in the union)
+        p1 = (contributions(
+                decoded_postings(qblocks.filter(F.col("term") == t_star)))
+              .groupBy("doc_id").agg(F.sum("contrib").alias("contrib"))
+              .persist())
+        theta_rows = (p1.orderBy(F.desc("contrib"), F.asc("doc_id"))
+                      .limit(k).collect())
+        theta = theta_rows[-1]["contrib"] if len(theta_rows) >= k else float("-inf")
 
         if not others:
-            out = (p1.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
-                   .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
-            return spark.createDataFrame(out.collect(),
-                                         "doc_id long, score double")
+            return spark.createDataFrame(
+                [(r["doc_id"], r["contrib"]) for r in theta_rows],
+                "doc_id long, score double")
 
         # ---- prune predicate per other term (pushed into the scan)
         sum_all = sum(ubmax[t] for t in present)
