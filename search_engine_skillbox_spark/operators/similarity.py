@@ -1,0 +1,105 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — the exactness baseline; one scan, one
+    TakeOrderedAndProject; all arithmetic in built-in higher-order
+    functions (zip_with/aggregate), zero Python.
+  * IVF (inverted-file) — the scale path: k-means-style coarse cells
+    (here: deterministic centroids from the existing `label` column or
+    computed per-cell averages), probe the nprobe nearest cells, search
+    only their members. At 10^12 vectors the cell assignment is the
+    partition key, so a probe touches nprobe partitions instead of the
+    full corpus.
+
+Cosine = dot(a,b)/(|a||b|); norms precomputable. All expressible in
+ANSI SQL → DuckDB oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cos): exact top-k by cosine to a constant query vector.
+
+    The query vector is a literal array — broadcast by value inside the
+    expression; TakeOrderedAndProject gives per-partition heaps + driver
+    merge (no full sort shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = emb.select(
+        F.col(id_col).alias("vec_id"),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)))
+        .alias("cos"))
+    return (out.select("vec_id", F.round("cos", 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
+def ivf_centroids(emb: DataFrame, cell_col: str = "label",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(cell, centroid): per-cell mean vector — posexplode + groupBy
+    (dim, cell) partial means, reassembled with array_agg sorted by dim.
+    One shuffle keyed on (cell, dim); no Python."""
+    dims = emb.select(F.col(cell_col).alias("cell"),
+                      F.posexplode(vec_col).alias("dim", "x"))
+    mean = dims.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+    return (mean.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                 .alias("dm"))
+            .select("cell", F.transform("dm", lambda s: s["m"])
+                    .alias("centroid")))
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             nprobe: int = 2, cell_col: str = "label",
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cos): approximate top-k — probe the nprobe cells whose
+    centroids are closest (by cosine) to the query, brute-force inside.
+
+    Deterministic given the cell assignment; recall measured in tests
+    against cosine_topk."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = ivf_centroids(emb, cell_col, vec_col)
+    probed = (cents.select(
+        "cell",
+        (_dot(F.col("centroid"), q)
+         / (_norm(F.col("centroid")) * _norm(q))).alias("ccos"))
+        .orderBy(F.desc("ccos"), F.asc("cell")).limit(nprobe))
+    cand = emb.join(F.broadcast(probed.select("cell")),
+                    emb[cell_col] == F.col("cell"), "inner")
+    out = cand.select(
+        F.col(id_col).alias("vec_id"),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)))
+        .alias("cos"))
+    return (out.select("vec_id", F.round("cos", 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
+def ivf_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                      cell_col: str = "label", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(id1, id2, cos): near-dup pairs blocked by IVF cell — only
+    same-cell pairs are compared (the 100 TB formulation of
+    dedup.embedding_neardup_pairs; misses cross-cell dups by design,
+    like every blocking scheme — measured in tests)."""
+    a = emb.select(F.col(cell_col).alias("cell"),
+                   F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(cell_col).alias("cell"),
+                   F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    pairs = a.join(b, ["cell"]).filter(F.col("id1") < F.col("id2"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    out = pairs.select("id1", "id2", cos.alias("cos"))
+    return out.filter(F.col("cos") >= threshold)
