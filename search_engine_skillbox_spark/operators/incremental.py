@@ -1,0 +1,282 @@
+"""Incremental index maintenance — the POST /api/indexPage and delete
+path (S9: utils/PageIndexingUtils.java:46-71 delete + re-add,
+service/IndexingServiceImpl.java:137-161 entry).
+
+Reference semantics: delete-if-exists (decrement lemma frequencies,
+delete index rows, delete page row) then fetch/extract/save/index the
+single page. Its decrement path truncates float ranks to int
+(PageIndexingUtils.java:63) — a bug we deliberately do NOT reproduce:
+stats here are maintained by exact ±deltas computed from the old/new
+token streams.
+
+Engine design (tombstone + generational append — the Iceberg
+merge-on-read shape):
+
+  * every posting block carries `gen` (build = 0)
+  * reindex: append the new doc's postings as gen = G+1 blocks into the
+    affected term buckets; write a tombstone (doc_id, dead_gen = G)
+    killing all older generations of that doc; bump meta gen
+  * delete: tombstone only
+  * dictionaries: terms df/cf/max_tf updated by exact deltas (dynamic
+    partition overwrite of the affected term buckets only); docs and
+    doclens rows replaced in the doc's hash bucket partition; meta
+    n_docs / sum_dl / avgdl adjusted exactly
+  * max_tf only ever grows (a removed high-tf doc would lower it, but a
+    stale max keeps WAND bounds sound — merely less tight until
+    compact())
+  * compact(): full rebuild from the maintained docs table — the
+    sandbox stand-in for Iceberg snapshot compaction
+
+Scale: one reindex touches ≤ |distinct terms of old ∪ new text| term
+buckets and exactly one doc bucket; nothing corpus-wide runs.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import term_bucket
+from ..sources.pages import prepare_pages
+from .codec import encode_postings
+from .index_store import IndexStore
+
+
+def _tokenize_py(text: str) -> list[str]:
+    from ..functions.textprep import PY_TOKEN_SPLIT
+    return [t for t in PY_TOKEN_SPLIT.split((text or "").lower()) if t]
+
+
+def _doc_row(spark: SparkSession, store: IndexStore, doc_id: int):
+    rows = (store.docs(spark)
+            .filter(F.col("doc_id") == doc_id)
+            .select("doc_id", "url", "url_norm", "host", "path", "text",
+                    "lang").collect())
+    return rows[0] if rows else None
+
+
+def _append_blocks(spark: SparkSession, store: IndexStore,
+                   doc_id: int, counts: Counter, gen: int) -> None:
+    import numpy as np
+    rows = []
+    for term, tf in counts.items():
+        for blk in encode_postings(np.array([doc_id], np.int64),
+                                   np.array([tf], np.int64)):
+            rows.append(Row(term=term, salt=0, gen=gen,
+                            bucket=term_bucket(term, store.n_buckets),
+                            **blk))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows).select(
+        "term", F.col("salt").cast("int").alias("salt"),
+        F.col("block_id").cast("int").alias("block_id"),
+        F.col("n").cast("int").alias("n"),
+        F.col("max_tf").cast("int").alias("max_tf"),
+        "first_doc", "last_doc", "docs", "tfs",
+        F.col("gen").cast("int").alias("gen"),
+        F.col("bucket").cast("int").alias("bucket"))
+    (df.coalesce(1).write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(store.path, "blocks")))
+
+
+def _write_tombstone(spark: SparkSession, store: IndexStore,
+                     doc_id: int, dead_gen: int) -> None:
+    tomb_path = os.path.join(store.path, "tombstones")
+    old = store.tombstones(spark)
+    new = spark.createDataFrame([(doc_id, dead_gen)],
+                                "doc_id long, dead_gen int")
+    if old is not None:
+        # keep the max dead_gen per doc
+        merged = (old.unionByName(new).groupBy("doc_id")
+                  .agg(F.max("dead_gen").alias("dead_gen")))
+        merged = spark.createDataFrame(merged.collect(),
+                                       "doc_id long, dead_gen int")
+    else:
+        merged = new
+    merged.coalesce(1).write.mode("overwrite").parquet(tomb_path)
+
+
+def _update_terms(spark: SparkSession, store: IndexStore,
+                  old_counts: Counter, new_counts: Counter) -> None:
+    """Exact df/cf deltas for affected terms; dynamic overwrite of the
+    affected bucket partitions of the terms table only."""
+    affected = set(old_counts) | set(new_counts)
+    if not affected:
+        return
+    deltas = []
+    for t in affected:
+        o, n = old_counts.get(t, 0), new_counts.get(t, 0)
+        deltas.append((t, (1 if n else 0) - (1 if o else 0), n - o, n))
+    ddf = spark.createDataFrame(
+        deltas, "term string, d_df long, d_cf long, new_tf long")
+    buckets = sorted({term_bucket(t, store.n_buckets) for t in affected})
+    cur = store.terms(spark).filter(F.col("bucket").isin(buckets))
+    upd = (cur.join(F.broadcast(ddf), "term", "full")
+           .select(
+               F.col("term"),
+               (F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("d_df"), F.lit(0))).alias("df"),
+               (F.coalesce(F.col("cf"), F.lit(0))
+                + F.coalesce(F.col("d_cf"), F.lit(0))).alias("cf"),
+               F.greatest(F.coalesce(F.col("max_tf"), F.lit(0)),
+                          F.coalesce(F.col("new_tf"), F.lit(0)))
+               .cast("int").alias("max_tf"))
+           .filter(F.col("df") > 0))
+    upd = upd.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("term")),
+                         F.lit(store.n_buckets)).cast("int"))
+    rows = upd.collect()  # affected buckets only — small
+    out = spark.createDataFrame(
+        rows, "term string, df long, cf long, max_tf int, bucket int")
+    (out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(os.path.join(store.path, "terms")))
+
+
+def _update_doc_tables(spark: SparkSession, store: IndexStore,
+                       doc_id: int, new_row: dict | None,
+                       new_dl: int | None) -> None:
+    """Replace (or drop) the doc's row in docs/ and doclens/ — rewrites
+    only the doc's hash-bucket partition."""
+    import struct
+    # doc bucket = pmod(xxhash64(long doc_id), n_buckets): hash of the
+    # 8-byte little-endian long, matching F.xxhash64(bigint)
+    from ..functions.hashing import xxh64
+    h = xxh64(struct.pack("<q", doc_id), 42)
+    h = h - (1 << 64) if h >= (1 << 63) else h
+    dbucket = h % store.n_buckets
+
+    docs_cur = (store.docs(spark)
+                .filter(F.col("doc_bucket") == dbucket)
+                .filter(F.col("doc_id") != doc_id)
+                .select("doc_id", "url", "url_norm", "host", "path",
+                        "text", "lang"))
+    rows = docs_cur.collect()
+    if new_row is not None:
+        rows.append(Row(**new_row))
+    out = spark.createDataFrame(
+        rows, "doc_id long, url string, url_norm string, host string, "
+              "path string, text string, lang string")
+    (out.withColumn("doc_bucket", F.lit(dbucket).cast("int"))
+     .coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("doc_bucket").parquet(os.path.join(store.path, "docs")))
+
+    dl_cur = (store.doclens(spark)
+              .filter(F.col("doc_bucket") == dbucket)
+              .filter(F.col("doc_id") != doc_id)
+              .select("doc_id", "dl"))
+    dl_rows = dl_cur.collect()
+    if new_dl is not None and new_dl > 0:
+        dl_rows.append(Row(doc_id=doc_id, dl=new_dl))
+    dl_out = spark.createDataFrame(dl_rows, "doc_id long, dl int")
+    (dl_out.withColumn("doc_bucket", F.lit(dbucket).cast("int"))
+     .coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("doc_bucket").parquet(os.path.join(store.path, "doclens")))
+
+
+def reindex_page(spark: SparkSession, store: IndexStore,
+                 page: dict) -> dict:
+    """page: {url, warc_ts, html(bytes|None), text(str|None), lang}.
+    Returns {doc_id, old_existed, n_terms}."""
+    pdf = spark.createDataFrame(
+        [(page["url"], page.get("warc_ts"), page.get("html"),
+          page.get("text"), page.get("lang"))],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    prep = prepare_pages(pdf).collect()[0]
+    doc_id = prep["doc_id"]
+    new_text = prep["text"]
+    new_counts = Counter(_tokenize_py(new_text))
+
+    meta = store.meta()
+    gen = int(meta.get("gen", 0)) + 1
+
+    old = _doc_row(spark, store, doc_id)
+    old_counts = Counter(_tokenize_py(old["text"])) if old is not None else Counter()
+
+    # 1. tombstone old generations (delete-if-exists, S9)
+    if old is not None:
+        _write_tombstone(spark, store, doc_id, gen - 1)
+    # 2. append new postings as generation `gen`
+    _append_blocks(spark, store, doc_id, new_counts, gen)
+    # 3. exact dictionary deltas
+    _update_terms(spark, store, old_counts, new_counts)
+    # 4. docs/doclens row replacement
+    new_row = {"doc_id": doc_id, "url": prep["url"],
+               "url_norm": prep["url_norm"], "host": prep["host"],
+               "path": prep["path"], "text": new_text,
+               "lang": prep["lang"]}
+    new_dl = sum(new_counts.values())
+    _update_doc_tables(spark, store, doc_id, new_row, new_dl)
+    # 5. meta: n_docs / avgdl / gen
+    old_dl = sum(old_counts.values())
+    meta["gen"] = gen
+    meta["n_docs"] = meta["n_docs"] - (1 if old_dl > 0 else 0) \
+        + (1 if new_dl > 0 else 0)
+    meta["sum_dl"] = meta.get("sum_dl", 0) - old_dl + new_dl
+    meta["n_dl"] = meta.get("n_dl", 0) - (1 if old_dl > 0 else 0) \
+        + (1 if new_dl > 0 else 0)
+    meta["avgdl"] = (meta["sum_dl"] / meta["n_dl"]) if meta["n_dl"] else 0.0
+    host = prep["host"]
+    by_host = meta.get("n_docs_by_host", {})
+    if old is None and new_dl > 0:
+        by_host[host] = by_host.get(host, 0) + 1
+    store.write_meta(meta)
+    return {"doc_id": doc_id, "old_existed": old is not None,
+            "n_terms": len(new_counts)}
+
+
+def delete_page(spark: SparkSession, store: IndexStore, url: str) -> dict:
+    """Delete a page: tombstone + exact dictionary decrements (the
+    reference's PageIndexingUtils.java:46-71, minus its float-truncation
+    bug)."""
+    pdf = spark.createDataFrame([(url,)], "url string")
+    from ..functions.urlutils import normalize_url
+    url_norm = pdf.select(normalize_url(F.col("url")).alias("u")).first()["u"]
+    doc_id = (spark.createDataFrame([(url_norm,)], "u string")
+              .select(F.xxhash64("u").alias("h")).first()["h"])
+    old = _doc_row(spark, store, doc_id)
+    if old is None:
+        return {"doc_id": doc_id, "deleted": False}
+    meta = store.meta()
+    gen = int(meta.get("gen", 0)) + 1
+    old_counts = Counter(_tokenize_py(old["text"]))
+    _write_tombstone(spark, store, doc_id, gen - 1)
+    _update_terms(spark, store, old_counts, Counter())
+    _update_doc_tables(spark, store, doc_id, None, None)
+    old_dl = sum(old_counts.values())
+    meta["gen"] = gen
+    meta["n_docs"] -= (1 if old_dl > 0 else 0)
+    meta["sum_dl"] = meta.get("sum_dl", 0) - old_dl
+    meta["n_dl"] = meta.get("n_dl", 0) - (1 if old_dl > 0 else 0)
+    meta["avgdl"] = (meta["sum_dl"] / meta["n_dl"]) if meta["n_dl"] else 0.0
+    store.write_meta(meta)
+    return {"doc_id": doc_id, "deleted": True}
+
+
+def compact(spark: SparkSession, store: IndexStore,
+            build_id: str = "compact") -> dict:
+    """Rewrite the index from the maintained docs table: drops tombstoned
+    generations, merges single-doc append blocks into full runs, resets
+    gen to 0 (Iceberg-compaction stand-in)."""
+    import shutil
+    docs = store.docs(spark).select(
+        "url",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang")
+    fresh_dir = store.path + ".compact"
+    fresh = IndexStore(fresh_dir, store.n_buckets, store.salt_threshold)
+    prepared = prepare_pages(docs).persist()
+    meta = fresh.build(spark, prepared, build_id=build_id,
+                       checkpoint_groups=1)
+    prepared.unpersist()
+    # atomic-ish swap
+    backup = store.path + ".old"
+    os.rename(store.path, backup)
+    os.rename(fresh_dir, store.path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return meta

@@ -140,7 +140,8 @@ class IndexStore:
                   for g in range(0, self.n_buckets, per_group)]
 
         # per-term max tf for WAND upper bounds, stored on the terms table
-        max_tf = postings.groupBy("term").agg(F.max("tf").alias("max_tf"))
+        max_tf = postings.groupBy("term").agg(
+            F.max("tf").cast("int").alias("max_tf"))
         terms_full = (terms.join(max_tf, "term")
                       .withColumn("bucket", bucket.cast("int")))
 
@@ -154,6 +155,7 @@ class IndexStore:
                         .repartition(shuffle_parts, "term", "salt")
                         .sortWithinPartitions("term", "salt", "doc_id")
                         .mapInPandas(_encode_partition, BLOCKS_SCHEMA)
+                        .withColumn("gen", F.lit(0))
                         .withColumn("bucket",
                                     F.pmod(F.xxhash64(F.col("term")),
                                            F.lit(self.n_buckets)).cast("int")))
@@ -175,11 +177,16 @@ class IndexStore:
             t0 = lineage.start(build_id, pid)
             (terms_full.write.mode("overwrite")
              .partitionBy("bucket").parquet(os.path.join(self.path, "terms")))
-            doclens.write.mode("overwrite").parquet(
-                os.path.join(self.path, "doclens"))
+            doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
+                                F.lit(self.n_buckets)).cast("int")
+            (doclens.withColumn("doc_bucket", doc_bucket)
+             .write.mode("overwrite").partitionBy("doc_bucket")
+             .parquet(os.path.join(self.path, "doclens")))
             (prepared.select("doc_id", "url", "url_norm", "host", "path",
                              "text", "lang")
-             .write.mode("overwrite").parquet(os.path.join(self.path, "docs")))
+             .withColumn("doc_bucket", doc_bucket)
+             .write.mode("overwrite").partitionBy("doc_bucket")
+             .parquet(os.path.join(self.path, "docs")))
             n_docs = postings.select("doc_id").distinct().count()
             host_posts = postings.join(
                 prepared.select("doc_id", "host"), "doc_id").persist()
@@ -192,11 +199,16 @@ class IndexStore:
                              .agg(F.countDistinct("term").alias("n"))
                              .collect()}
             host_posts.unpersist()
-            avgdl = (doclens.filter(F.col("dl") > 0)
-                     .agg(F.avg("dl")).first()[0])
+            dl_stats = (doclens.filter(F.col("dl") > 0)
+                        .agg(F.sum("dl").alias("s"),
+                             F.count(F.lit(1)).alias("c")).first())
+            sum_dl = int(dl_stats["s"] or 0)
+            n_dl = int(dl_stats["c"] or 0)
+            avgdl = (sum_dl / n_dl) if n_dl else 0.0
             meta = {"n_docs": n_docs, "n_docs_by_host": per_host,
+                    "gen": 0, "sum_dl": sum_dl, "n_dl": n_dl,
                     "n_terms_by_host": terms_by_host,
-                    "avgdl": float(avgdl or 0.0),
+                    "avgdl": float(avgdl),
                     "n_buckets": self.n_buckets,
                     "salt_threshold": self.salt_threshold,
                     "build_id": build_id}
@@ -213,6 +225,18 @@ class IndexStore:
     def meta(self) -> dict:
         with open(os.path.join(self.path, "meta.json")) as f:
             return json.load(f)
+
+    def write_meta(self, meta: dict) -> None:
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def tombstones(self, spark: SparkSession) -> DataFrame | None:
+        """(doc_id, dead_gen): postings of doc_id with gen ≤ dead_gen are
+        deleted. None when no incremental delete has happened yet."""
+        p = os.path.join(self.path, "tombstones")
+        if not os.path.isdir(p):
+            return None
+        return spark.read.parquet(p)
 
     def blocks(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "blocks"))

@@ -51,13 +51,14 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
     # single term → df straight from the terms dictionary (zero decode);
     # multi-term → count-distinct over doc_ids only (tf bytes never read)
     trows = store.query_terms_rows(spark, q_terms)
+    has_tomb = store.tombstones(spark) is not None
     if not trows:
         total = 0
-    elif len(trows) == 1 and len(q_terms) == 1:
+    elif len(trows) == 1 and len(q_terms) == 1 and not has_tomb:
         total = trows[0]["df"]
     else:
-        from .wand import decoded_docids
-        total = (decoded_docids(store.query_blocks(spark, q_terms))
+        from .wand import live_docids
+        total = (live_docids(spark, store, store.query_blocks(spark, q_terms))
                  .distinct().count())
     if offset > total:
         return {"result": False, "count": 0, "data": []}

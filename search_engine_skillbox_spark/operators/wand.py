@@ -42,39 +42,57 @@ from . import score as S
 from .codec import decode_block
 from .index_store import IndexStore
 
-DECODED_SCHEMA = "doc_id long, term string, tf long"
+DECODED_SCHEMA = "doc_id long, term string, tf long, gen int"
 
 
 def _decode_blocks(batches):
     for pdf in batches:
         if pdf.empty:
             continue
-        ids_all, tf_all, term_all = [], [], []
-        for term, docs_b, tfs_b in zip(pdf["term"], pdf["docs"], pdf["tfs"]):
+        ids_all, tf_all, term_all, gen_all = [], [], [], []
+        for term, docs_b, tfs_b, gen in zip(pdf["term"], pdf["docs"],
+                                            pdf["tfs"], pdf["gen"]):
             d, t = decode_block(docs_b, tfs_b)
             ids_all.append(d)
             tf_all.append(t)
             term_all.append(np.repeat(term, d.size))
+            gen_all.append(np.full(d.size, gen, np.int32))
         yield pd.DataFrame({
             "doc_id": np.concatenate(ids_all),
             "term": np.concatenate(term_all),
             "tf": np.concatenate(tf_all),
+            "gen": np.concatenate(gen_all),
         })
 
 
 def decoded_postings(blocks: DataFrame) -> DataFrame:
-    """blocks → (doc_id, term, tf) via the Arrow-batched numpy decoder."""
-    return blocks.select("term", "docs", "tfs").mapInPandas(
+    """blocks → (doc_id, term, tf, gen) via the Arrow-batched decoder."""
+    return blocks.select("term", "docs", "tfs", "gen").mapInPandas(
         _decode_blocks, DECODED_SCHEMA)
 
 
+def live_postings(spark: SparkSession, store: IndexStore,
+                  blocks: DataFrame) -> DataFrame:
+    """Decoded postings minus tombstoned generations (incremental S9
+    deletes; operators/incremental.py). Tombstones are tiny → broadcast
+    left join, keep rows with gen > dead_gen."""
+    dec = decoded_postings(blocks)
+    tomb = store.tombstones(spark)
+    if tomb is None:
+        return dec.drop("gen")
+    return (dec.join(F.broadcast(tomb), "doc_id", "left")
+            .filter(F.col("dead_gen").isNull()
+                    | (F.col("gen") > F.col("dead_gen")))
+            .drop("gen", "dead_gen"))
+
+
 def _decode_docids_only(batches):
+    from .codec import varint_decode
     for pdf in batches:
         if pdf.empty:
             continue
-        from .codec import varint_decode
-        ids = []
-        for docs_b in pdf["docs"]:
+        ids, gens = [], []
+        for docs_b, gen in zip(pdf["docs"], pdf["gen"]):
             deltas = varint_decode(docs_b)
             z = deltas[0]
             with np.errstate(over="ignore"):
@@ -83,14 +101,28 @@ def _decode_docids_only(batches):
             d = deltas.astype(np.int64)
             d[0] = first
             ids.append(np.cumsum(d))
-        yield pd.DataFrame({"doc_id": np.concatenate(ids)})
+            gens.append(np.full(len(d), gen, np.int32))
+        yield pd.DataFrame({"doc_id": np.concatenate(ids),
+                            "gen": np.concatenate(gens)})
 
 
 def decoded_docids(blocks: DataFrame) -> DataFrame:
-    """blocks → (doc_id) only — skips tf decode; used for exact match
-    counts where tf is irrelevant."""
-    return blocks.select("docs").mapInPandas(_decode_docids_only,
-                                             "doc_id long")
+    """blocks → (doc_id, gen) only — skips tf decode; used for exact
+    match counts where tf is irrelevant."""
+    return blocks.select("docs", "gen").mapInPandas(_decode_docids_only,
+                                                    "doc_id long, gen int")
+
+
+def live_docids(spark: SparkSession, store: IndexStore,
+                blocks: DataFrame) -> DataFrame:
+    dec = decoded_docids(blocks)
+    tomb = store.tombstones(spark)
+    if tomb is None:
+        return dec.select("doc_id")
+    return (dec.join(F.broadcast(tomb), "doc_id", "left")
+            .filter(F.col("dead_gen").isNull()
+                    | (F.col("gen") > F.col("dead_gen")))
+            .select("doc_id"))
 
 
 def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
@@ -137,7 +169,8 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
 
         # ---- pass 1: t* partials → θ (aggregated once, reused in the union)
         p1 = (contributions(
-                decoded_postings(qblocks.filter(F.col("term") == t_star)))
+                live_postings(spark, store,
+                              qblocks.filter(F.col("term") == t_star)))
               .groupBy("doc_id").agg(F.sum("contrib").alias("contrib"))
               .persist())
         theta_rows = (p1.orderBy(F.desc("contrib"), F.asc("doc_id"))
@@ -178,7 +211,7 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
             survivors = qblocks.filter(F.lit(False))
         else:
             survivors = qblocks.filter(keep)
-        p2 = contributions(decoded_postings(survivors))
+        p2 = contributions(live_postings(spark, store, survivors))
 
         out = (p1.unionAll(p2)
                .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
@@ -192,7 +225,7 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         # reaches the zero tier, fall back to exhaustive decode (exact,
         # and rare: only when fewer than k docs score > 0).
         if len(rows) < k or (rows and rows[-1]["score"] <= 0):
-            rows = (contributions(decoded_postings(qblocks))
+            rows = (contributions(live_postings(spark, store, qblocks))
                     .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
                     .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
                     .collect())

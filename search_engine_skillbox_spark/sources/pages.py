@@ -31,9 +31,12 @@ def prepare_pages(raw: DataFrame) -> DataFrame:
     max_by aggregation (one shuffle on url_norm), not a window sort.
     """
     p = raw.withColumn("url_norm", normalize_url(F.col("url")))
+    # null warc_ts must not null out max_by — treat missing ts as epoch
+    ts = F.coalesce(F.col("warc_ts"),
+                    F.lit("1970-01-01 00:00:00").cast("timestamp"))
     p = (p.groupBy("url_norm")
          .agg(F.max_by(F.struct("url", "warc_ts", "html", "text", "lang"),
-                       "warc_ts").alias("r"))
+                       ts).alias("r"))
          .select("url_norm", "r.*"))
     p = with_text(p)
     return (p

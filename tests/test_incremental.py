@@ -1,0 +1,133 @@
+"""S9 incremental maintenance: reindex/delete with tombstones +
+generational appends; idempotence; dictionary-delta exactness; compact
+equivalence. (SURVEY §2.1 S9, §5.4 re-index idempotence.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_skillbox_spark.operators import build as B
+from search_engine_skillbox_spark.operators.incremental import (
+    compact, delete_page, reindex_page)
+from search_engine_skillbox_spark.operators.index_store import IndexStore
+from search_engine_skillbox_spark.operators.service import search_service
+from search_engine_skillbox_spark.operators.wand import (
+    live_postings, wand_topk)
+
+
+def _mk_store(spark, prepared, tmp_path, name):
+    st = IndexStore(str(tmp_path / name), n_buckets=8, salt_threshold=50)
+    st.build(spark, prepared, checkpoint_groups=1)
+    return st
+
+
+def _live_flat(spark, st):
+    return {(r["doc_id"], r["term"]): r["tf"]
+            for r in live_postings(spark, st, st.blocks(spark)).collect()}
+
+
+def _terms_map(spark, st):
+    return {r["term"]: (r["df"], r["cf"], r["max_tf"])
+            for r in st.terms(spark).collect()}
+
+
+NEW_PAGE = {
+    "url": "https://alpha.test/page/6",  # existing fixture url (6 % 4 = 2 → alpha)
+    "warc_ts": dt.datetime(2025, 1, 1),
+    "html": b"<html><body><p>fresh unique zanzibar words zanzibar</p></body></html>",
+    "text": None,
+    "lang": "en",
+}
+
+BRAND_NEW = {
+    "url": "https://alpha.test/page/brand-new",
+    "warc_ts": dt.datetime(2025, 1, 1),
+    "html": b"<html><body><p>totally novel xylophone content</p></body></html>",
+    "text": None,
+    "lang": "en",
+}
+
+
+@pytest.fixture()
+def store(spark, prepared, tmp_path):
+    return _mk_store(spark, prepared, tmp_path, "inc")
+
+
+def test_reindex_existing(spark, store, prepared):
+    meta0 = store.meta()
+    res = reindex_page(spark, store, NEW_PAGE)
+    assert res["old_existed"]
+    # postings now reflect the new text only
+    flat = _live_flat(spark, store)
+    d = res["doc_id"]
+    mine = {t: tf for (doc, t), tf in flat.items() if doc == d}
+    assert mine == {"fresh": 1, "unique": 1, "zanzibar": 2, "words": 1}
+    # search finds the new term, old terms of that doc are gone
+    hit = wand_topk(spark, store, ["zanzibar"], 5).collect()
+    assert [r["doc_id"] for r in hit] == [d]
+    # dictionary deltas match a recompute from live postings
+    live = spark.createDataFrame(
+        [(doc, t, tf) for (doc, t), tf in flat.items()],
+        "doc_id long, term string, tf long")
+    recomputed = {r["term"]: (r["df"], r["cf"])
+                  for r in B.term_stats(live).collect()}
+    stored = _terms_map(spark, store)
+    assert set(stored) == set(recomputed)
+    for t, (df, cf) in recomputed.items():
+        assert stored[t][:2] == (df, cf), t
+    # meta stays exact
+    meta = store.meta()
+    assert meta["n_docs"] == meta0["n_docs"]
+    assert meta["gen"] == 1
+
+
+def test_reindex_idempotent(spark, store):
+    reindex_page(spark, store, NEW_PAGE)
+    flat1 = _live_flat(spark, store)
+    t1 = _terms_map(spark, store)
+    n1 = store.meta()["n_docs"]
+    reindex_page(spark, store, NEW_PAGE)  # same page again
+    flat2 = _live_flat(spark, store)
+    t2 = _terms_map(spark, store)
+    assert flat1 == flat2
+    assert {k: v[:2] for k, v in t1.items()} == {k: v[:2] for k, v in t2.items()}
+    assert store.meta()["n_docs"] == n1
+
+
+def test_add_brand_new_and_delete(spark, store):
+    meta0 = store.meta()
+    res = reindex_page(spark, store, BRAND_NEW)
+    assert not res["old_existed"]
+    assert store.meta()["n_docs"] == meta0["n_docs"] + 1
+    hit = search_service(spark, store, "xylophone")
+    assert hit["count"] == 1 and len(hit["data"]) == 1
+    assert "xylophone" in hit["data"][0]["snippet"].replace("<b>", "").replace("</b>", "")
+
+    out = delete_page(spark, store, BRAND_NEW["url"])
+    assert out["deleted"]
+    assert store.meta()["n_docs"] == meta0["n_docs"]
+    hit = search_service(spark, store, "xylophone")
+    assert hit["count"] == 0 and hit["data"] == []
+    # terms table no longer lists the unique term
+    assert "xylophone" not in _terms_map(spark, store)
+
+
+def test_compact_preserves_state(spark, store):
+    reindex_page(spark, store, NEW_PAGE)
+    reindex_page(spark, store, BRAND_NEW)
+    delete_page(spark, store, NEW_PAGE["url"])
+    flat_before = _live_flat(spark, store)
+    n_before = store.meta()["n_docs"]
+    compact(spark, store)
+    assert store.tombstones(spark) is None
+    flat_after = _live_flat(spark, store)
+    assert flat_after == flat_before
+    assert store.meta()["n_docs"] == n_before
+    assert store.meta()["gen"] == 0
+    # appended single-doc blocks were merged away: every gen is 0
+    gens = [r["gen"] for r in
+            store.blocks(spark).select("gen").distinct().collect()]
+    assert gens == [0]
