@@ -257,6 +257,160 @@ def delete_page(spark: SparkSession, store: IndexStore, url: str) -> dict:
     return {"doc_id": doc_id, "deleted": True}
 
 
+def reindex_batch(spark: SparkSession, store: IndexStore,
+                  raw_pages) -> dict:
+    """Distributed bulk reindex: the foreachBatch body of the streaming
+    ingest (streaming/ingest.py) and the bulk form of reindex_page.
+
+    Everything is DataFrame work — no per-row driver loops:
+      new postings   postings_flat over the prepared batch
+      old postings   postings_flat over the matching docs-table rows
+                     (recomputed from stored text — cheaper than decoding
+                     blocks, and exact by the byte-identity invariant)
+      appends        standard encode pipeline at gen = G+1
+      tombstones     one row per pre-existing doc
+      dictionaries   groupBy deltas merged into the affected term buckets
+      docs/doclens   dynamic overwrite of the affected doc buckets
+    """
+    from .build import postings_flat, term_stats
+
+    meta = store.meta()
+    gen = int(meta.get("gen", 0)) + 1
+
+    prep = prepare_pages(raw_pages).persist()
+    batch_ids = prep.select("doc_id")
+
+    old_docs = (store.docs(spark)
+                .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                .persist())
+    new_posts = postings_flat(prep).persist()
+    old_posts = postings_flat(old_docs).persist()
+
+    # --- 1. tombstones for every pre-existing doc
+    olds = [r["doc_id"] for r in old_docs.select("doc_id").collect()]
+    if olds:
+        tomb_path = os.path.join(store.path, "tombstones")
+        prev = store.tombstones(spark)
+        add = spark.createDataFrame([(d, gen - 1) for d in olds],
+                                    "doc_id long, dead_gen int")
+        if prev is not None:
+            merged = (prev.unionByName(add).groupBy("doc_id")
+                      .agg(F.max("dead_gen").alias("dead_gen")))
+            merged = spark.createDataFrame(merged.collect(),
+                                           "doc_id long, dead_gen int")
+        else:
+            merged = add
+        merged.coalesce(1).write.mode("overwrite").parquet(tomb_path)
+
+    # --- 2. append new postings as gen blocks (same encode pipeline)
+    from .index_store import BLOCKS_SCHEMA, _encode_partition
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    enc = (new_posts.withColumn("salt", F.lit(0))
+           .select("term", "salt", "doc_id", "tf")
+           .repartition(shuffle_parts, "term", "salt")
+           .sortWithinPartitions("term", "salt", "doc_id")
+           .mapInPandas(_encode_partition, BLOCKS_SCHEMA)
+           .withColumn("gen", F.lit(gen))
+           .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")),
+                                        F.lit(store.n_buckets)).cast("int")))
+    (enc.write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(store.path, "blocks")))
+
+    # Collect meta deltas NOW — a later dynamic overwrite of docs/
+    # invalidates the cached old_docs/old_posts plans (Spark refreshes
+    # the path), which would silently re-read the NEW rows.
+    old_dl = {r["doc_id"]: r["s"] for r in
+              old_posts.groupBy("doc_id").agg(F.sum("tf").alias("s")).collect()}
+    new_dl_rows = (new_posts.groupBy("doc_id")
+                   .agg(F.sum("tf").cast("int").alias("dl")).collect())
+    new_dl = {r["doc_id"]: r["dl"] for r in new_dl_rows}
+    all_ids = [r["doc_id"] for r in batch_ids.collect()]
+
+    # --- 3. dictionary deltas (affected term buckets only)
+    new_stats = term_stats(new_posts).withColumnRenamed("df", "ndf") \
+        .withColumnRenamed("cf", "ncf")
+    old_stats = term_stats(old_posts).withColumnRenamed("df", "odf") \
+        .withColumnRenamed("cf", "ocf")
+    new_max = new_posts.groupBy("term").agg(
+        F.max("tf").cast("int").alias("nmax"))
+    delta = (new_stats.join(old_stats, "term", "full")
+             .join(new_max, "term", "left").fillna(0))
+    abuckets = [r["b"] for r in delta.select(
+        F.pmod(F.xxhash64("term"), F.lit(store.n_buckets)).cast("int")
+        .alias("b")).distinct().collect()]
+    if abuckets:
+        cur = store.terms(spark).filter(F.col("bucket").isin(abuckets))
+        upd = (cur.join(delta, "term", "full")
+               .select(
+                   "term",
+                   (F.coalesce("df", F.lit(0)) + F.coalesce("ndf", F.lit(0))
+                    - F.coalesce("odf", F.lit(0))).alias("df"),
+                   (F.coalesce("cf", F.lit(0)) + F.coalesce("ncf", F.lit(0))
+                    - F.coalesce("ocf", F.lit(0))).alias("cf"),
+                   F.greatest(F.coalesce("max_tf", F.lit(0)),
+                              F.coalesce("nmax", F.lit(0)))
+                   .cast("int").alias("max_tf"))
+               .filter(F.col("df") > 0)
+               .withColumn("bucket",
+                           F.pmod(F.xxhash64("term"),
+                                  F.lit(store.n_buckets)).cast("int")))
+        rows = upd.collect()
+        out = spark.createDataFrame(
+            rows, "term string, df long, cf long, max_tf int, bucket int")
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(os.path.join(store.path, "terms")))
+
+    # --- 4. docs + doclens (affected doc buckets)
+    doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
+                        F.lit(store.n_buckets)).cast("int")
+    new_rows = prep.select("doc_id", "url", "url_norm", "host", "path",
+                           "text", "lang").withColumn("doc_bucket", doc_bucket)
+    dbuckets = [r["doc_bucket"] for r in
+                new_rows.select("doc_bucket").distinct().collect()]
+    keep = (store.docs(spark).filter(F.col("doc_bucket").isin(dbuckets))
+            .join(F.broadcast(batch_ids), "doc_id", "left_anti"))
+    merged_docs = keep.select(new_rows.columns).unionByName(new_rows)
+    merged_rows = merged_docs.collect()
+    out_docs = spark.createDataFrame(
+        merged_rows,
+        "doc_id long, url string, url_norm string, host string, "
+        "path string, text string, lang string, doc_bucket int")
+    (out_docs.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("doc_bucket").parquet(os.path.join(store.path, "docs")))
+
+    new_dls = (spark.createDataFrame(new_dl_rows, "doc_id long, dl int")
+               .withColumn("doc_bucket", doc_bucket))
+    keep_dl = (store.doclens(spark).filter(F.col("doc_bucket").isin(dbuckets))
+               .join(F.broadcast(batch_ids), "doc_id", "left_anti"))
+    merged_dl = spark.createDataFrame(
+        keep_dl.select("doc_id", "dl", "doc_bucket").unionByName(new_dls)
+        .collect(), "doc_id long, dl int, doc_bucket int")
+    (merged_dl.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("doc_bucket").parquet(os.path.join(store.path, "doclens")))
+
+    # --- 5. meta (exact adjustments from the pre-overwrite collections)
+    olds_set = set(olds)
+    for d in all_ids:
+        o = old_dl.get(d, 0)
+        n = new_dl.get(d, 0)
+        had = d in olds_set and o > 0
+        meta["n_docs"] += (1 if n > 0 else 0) - (1 if had else 0)
+        meta["sum_dl"] = meta.get("sum_dl", 0) + n - o
+        meta["n_dl"] = meta.get("n_dl", 0) + (1 if n > 0 else 0) - (1 if had else 0)
+    meta["avgdl"] = (meta["sum_dl"] / meta["n_dl"]) if meta.get("n_dl") else 0.0
+    meta["gen"] = gen
+    store.write_meta(meta)
+
+    n_batch = len(all_ids)
+    for df_ in (prep, old_docs, new_posts, old_posts):
+        df_.unpersist()
+    return {"batch_docs": n_batch, "gen": gen,
+            "reindexed": len(olds), "new": n_batch - len(olds)}
+
+
 def compact(spark: SparkSession, store: IndexStore,
             build_id: str = "compact") -> dict:
     """Rewrite the index from the maintained docs table: drops tombstoned

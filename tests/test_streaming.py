@@ -1,0 +1,51 @@
+"""Streaming ingest: index built incrementally from a file stream must
+equal a clean batch build over the same final corpus."""
+
+from __future__ import annotations
+
+from search_engine_skillbox_spark.operators.index_store import IndexStore
+from search_engine_skillbox_spark.operators.wand import live_postings
+from search_engine_skillbox_spark.sources import corpus as C
+from search_engine_skillbox_spark.sources.pages import prepare_pages
+from search_engine_skillbox_spark.streaming.ingest import stream_pages
+
+
+def _flat(spark, st):
+    return {(r["doc_id"], r["term"]): r["tf"]
+            for r in live_postings(spark, st, st.blocks(spark)).collect()}
+
+
+def test_stream_ingest_equals_batch(spark, tmp_path):
+    # initial index over docs [0, 120)
+    first = C.pages_df(spark, 120, partitions=4)
+    st = IndexStore(str(tmp_path / "sidx"), n_buckets=8, salt_threshold=100)
+    st.build(spark, prepare_pages(first), checkpoint_groups=1)
+
+    # stream two file drops: docs [120, 170) new + docs [10, 30) re-indexed
+    # with CHANGED content (seed 99 ⇒ different text for the same urls)
+    inc_dir = str(tmp_path / "incoming")
+    (C.pages_df(spark, 170, partitions=2)
+     .where("warc_ts >= timestamp'2024-01-01 02:00:00'")
+     .write.mode("append").parquet(inc_dir))
+    (C.pages_df(spark, 30, seed=99, partitions=1)
+     .where("warc_ts >= timestamp'2024-01-01 00:10:00'")
+     .write.mode("append").parquet(inc_dir))
+
+    stats = stream_pages(spark, st, inc_dir, str(tmp_path / "ckpt"))
+    assert stats and sum(s["batch_docs"] for s in stats) > 0
+
+    # expected corpus: docs 0..170 with 10..30 replaced by seed-99 content
+    import pandas as pd
+    rows = [C.make_page(42, i) for i in range(170)]
+    for i in range(10, 30):
+        rows[i] = C.make_page(99, i)
+    exp = spark.createDataFrame(
+        pd.DataFrame(rows), C.PAGES_SCHEMA)
+    st2 = IndexStore(str(tmp_path / "batch"), n_buckets=8,
+                     salt_threshold=100)
+    st2.build(spark, prepare_pages(exp), checkpoint_groups=1)
+
+    assert _flat(spark, st) == _flat(spark, st2)
+    m1, m2 = st.meta(), st2.meta()
+    assert m1["n_docs"] == m2["n_docs"]
+    assert abs(m1["avgdl"] - m2["avgdl"]) < 1e-9
