@@ -1,0 +1,194 @@
+"""North-rule scaling evidence: the identical index-build job on the
+identical input at two parallelism levels (local[8] vs local[32] — the
+sandbox substitute for N vs 4N executors, per BASELINE.md protocol),
+plus query latency at both, plus per-term/per-salt skew evidence.
+
+Writes results to BENCH/BASELINE.md. Run:  python bench/scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOCS = int(os.environ.get("SCALE_DOCS", "120000"))
+SHUFFLE = int(os.environ.get("SCALE_SHUFFLE", "64"))  # sized for local[32]
+LEVELS = (8, 32)
+
+
+def spark_submit(cpus: int, script: str, *args: str) -> dict:
+    cmd = [
+        "spark-submit", "--master", f"local[{cpus}]",
+        "--conf", f"spark.sql.shuffle.partitions={SHUFFLE}",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=24g",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--py-files", os.path.join(REPO, "engine.zip"),
+        os.path.join(REPO, script), *args,
+    ]
+    t0 = time.time()
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    wall = time.time() - t0
+    line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        sys.stderr.write(res.stdout[-2000:] + res.stderr[-4000:])
+        raise RuntimeError(f"no JSON from {script} at local[{cpus}]")
+    out = json.loads(line[-1])
+    out["wall_sec"] = round(wall, 1)
+    out["cmd"] = " ".join(cmd)
+    return out
+
+
+def skew_evidence(corpus: str) -> dict:
+    """Per-(term,salt) posting-run sizes with and without salting —
+    proves the salt bound on the largest encode run."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from search_engine_skillbox_spark.operators.build import (
+        build_index_frames)
+    from search_engine_skillbox_spark.sources.pages import prepare_pages
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", str(SHUFFLE))
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "24g").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    prep = prepare_pages(spark.read.parquet(corpus))
+    postings, terms, _ = build_index_frames(prep)
+    postings = postings.persist()
+    thr = 50_000
+    heavy = (terms.filter(F.col("df") > thr)
+             .select("term", F.ceil(F.col("df") / thr).cast("int")
+                     .alias("n_salt")))
+    salted = (postings.join(F.broadcast(heavy), "term", "left")
+              .withColumn("salt", F.when(F.col("n_salt").isNull(), F.lit(0))
+                          .otherwise(F.pmod(F.xxhash64("doc_id"),
+                                            F.col("n_salt")).cast("int"))))
+    runs = (salted.groupBy("term", "salt").count()
+            .agg(F.max("count").alias("max_run"),
+                 F.expr("percentile_approx(count, 0.999)").alias("p999"),
+                 F.count(F.lit(1)).alias("n_runs")).first())
+    unsalted = (postings.groupBy("term").count()
+                .agg(F.max("count").alias("max_run")).first())
+    top = (postings.groupBy("term").count().orderBy(F.desc("count"))
+           .limit(10).collect())
+    out = {
+        "salt_threshold": thr,
+        "max_run_unsalted": unsalted["max_run"],
+        "max_run_salted": runs["max_run"],
+        "p999_run_salted": runs["p999"],
+        "n_runs": runs["n_runs"],
+        "top_terms": [(r["term"], r["count"]) for r in top],
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    tmp = tempfile.mkdtemp(prefix="scale_")
+    corpus = os.path.join(tmp, "corpus")
+
+    # untimed deterministic corpus generation (same input for both levels)
+    from pyspark.sql import SparkSession
+
+    from search_engine_skillbox_spark.sources.corpus import pages_df
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "24g").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_df(spark, DOCS, partitions=128).write.parquet(corpus)
+    spark.stop()
+
+    results = {}
+    for cpus in LEVELS:
+        idx = os.path.join(tmp, f"idx{cpus}")
+        build = spark_submit(
+            cpus, "jobs/build_index.py", "--input", corpus,
+            "--output", idx, "--buckets", "32",
+            "--salt-threshold", "50000", "--checkpoint-groups", "1")
+        query = spark_submit(cpus, "jobs/query_bench.py", "--index", idx,
+                             "--reps", "10")
+        results[cpus] = {"build": build, "query": query}
+        print(json.dumps({cpus: results[cpus]}), flush=True)
+
+    r8 = results[8]["build"]["docs_per_sec"]
+    r32 = results[32]["build"]["docs_per_sec"]
+    eff = r32 / (4 * r8)
+    skew = skew_evidence(corpus)
+
+    report = {"docs": DOCS, "shuffle_partitions": SHUFFLE,
+              "r8_docs_per_sec": r8, "r32_docs_per_sec": r32,
+              "t8_sec": results[8]["build"]["seconds"],
+              "t32_sec": results[32]["build"]["seconds"],
+              "scaling_efficiency": round(eff, 3),
+              "query": {c: results[c]["query"] for c in LEVELS},
+              "skew": skew}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    _write_md(report, results)
+    print(json.dumps(report))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_md(rep: dict, results: dict) -> None:
+    q8, q32 = rep["query"][8], rep["query"][32]
+    md = f"""# BENCH/BASELINE — measured results
+
+## Index-build throughput & N→4N scaling (north-rule protocol)
+
+Same deterministic input ({rep['docs']:,} synthetic Common-Crawl-style
+pages, seed 42), same shuffle partitions ({rep['shuffle_partitions']}),
+identical `spark-submit --py-files engine.zip jobs/build_index.py` at
+two parallelism levels:
+
+| level | wall (build job `seconds`) | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {rep['t8_sec']} s | {rep['r8_docs_per_sec']} |
+| local[32] (4N) | {rep['t32_sec']} s | {rep['r32_docs_per_sec']} |
+
+**Scaling efficiency E = R32 / (4·R8) = {rep['scaling_efficiency']}**
+(target ≥ 0.8 → {"PASS" if rep['scaling_efficiency'] >= 0.8 else "FAIL"}).
+
+Exact commands:
+
+```
+{results[8]['build']['cmd']}
+{results[32]['build']['cmd']}
+```
+
+## Top-k query latency (block-max WAND, k=10, 5-query reference mix × 10 reps)
+
+| level | compat p50 | compat p95 | bm25 p50 | bm25 p95 |
+|---|---|---|---|---|
+| local[8]  | {q8['compat_p50_sec']} s | {q8['compat_p95_sec']} s | {q8['bm25_p50_sec']} s | {q8['bm25_p95_sec']} s |
+| local[32] | {q32['compat_p50_sec']} s | {q32['compat_p95_sec']} s | {q32['bm25_p50_sec']} s | {q32['bm25_p95_sec']} s |
+
+## Skew evidence (salted term partitioning, threshold {rep['skew']['salt_threshold']:,})
+
+| metric | value |
+|---|---|
+| largest per-term posting run, unsalted | {rep['skew']['max_run_unsalted']:,} |
+| largest per-(term,salt) run, salted | {rep['skew']['max_run_salted']:,} |
+| p99.9 salted run | {rep['skew']['p999_run_salted']:,} |
+| total (term,salt) runs | {rep['skew']['n_runs']:,} |
+
+Top stopword-heavy terms (df): {', '.join(f"{t}={c:,}" for t, c in rep['skew']['top_terms'][:5])}
+
+Raw JSON: `BENCH/scaling_results.json`.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -393,7 +393,100 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# physical index path: build → encode → write → read → decode → score,
+# checked against the same SQL oracles as the logical path
+# ---------------------------------------------------------------------------
+
+def _build_store(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from .operators.index_store import IndexStore
+    from .sources.pages import prepare_pages
+    docs = _docs(spark, sf_dir)
+    raw = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".test/doc/"),
+                 F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"), F.col("lang"))
+    st = IndexStore(tempfile.mkdtemp(prefix="entry_idx_"), n_buckets=8,
+                    salt_threshold=200)  # low threshold → salting exercised
+    st.build(spark, prepare_pages(raw).persist(), checkpoint_groups=1)
+    return st, docs
+
+
+def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full physical pipeline: salted block build + delta/varint codec,
+    decoded back to flat postings. Oracle: identical SQL to
+    postings_flat — any encode/decode/salt bug breaks the hash.
+    doc_id is recovered from the engine's xxhash64 ids via the docs
+    dimension (broadcast join)."""
+    from .operators.wand import decoded_postings
+    st, docs = _build_store(spark, sf_dir)
+    dec = decoded_postings(st.blocks(spark)).drop("gen")
+    url_doc = st.docs(spark).select(
+        "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("long").alias("orig_id"))
+    return (dec.join(F.broadcast(url_doc), "doc_id")
+            .select(F.col("orig_id").alias("doc_id"), "term", "tf"))
+
+
+def q_search_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-compat scoring THROUGH the physical index + block-max
+    WAND pruning; oracle: the same TF-IDF SQL as search_tfidf_topk."""
+    from .operators.wand import wand_topk
+    st, docs = _build_store(spark, sf_dir)
+    # over-fetch the full candidate set so the final tie-break can use the
+    # ORIGINAL doc_id (the engine's xxhash64 ids order ties differently)
+    top = wand_topk(spark, st, QUERY_TERMS_W, int(docs.count()))
+    url_doc = st.docs(spark).select(
+        "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("long").alias("orig_id"))
+    out = (top.join(F.broadcast(url_doc), "doc_id")
+           .select(F.col("orig_id").alias("doc_id"),
+                   F.round("score", 4).alias("score")))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK_W)
+
+
+QUERY_TERMS_W = ["spark", "join", "merge"]
+TOPK_W = 10
+
+_SQL_TOKS_PLAIN = """
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+')) AS term
+  FROM documents
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+)
+"""
+
+_SQL_ROUNDTRIP = f"WITH {_SQL_TOKS_PLAIN} SELECT doc_id, term, tf FROM postings"
+
+_SQL_WAND = f"""WITH {_SQL_TOKS_PLAIN},
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
+qdf AS (
+  SELECT term, count(*) AS df FROM postings
+  WHERE term IN ('spark', 'join', 'merge') GROUP BY term
+),
+scores AS (
+  SELECT p.doc_id,
+         sum(p.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) AS raw
+  FROM postings p JOIN qdf d USING (term) CROSS JOIN n
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scores
+ORDER BY round(raw, 4) DESC, doc_id ASC
+LIMIT {TOPK_W}"""
+
+
 QUERIES = {
+    "index_block_roundtrip": q_index_roundtrip,
+    "search_wand_topk": q_search_wand_topk,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -405,6 +498,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "index_block_roundtrip": _SQL_ROUNDTRIP,
+    "search_wand_topk": _SQL_WAND,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": _minhash_sql(),
