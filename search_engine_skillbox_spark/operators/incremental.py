@@ -225,6 +225,7 @@ def reindex_page(spark: SparkSession, store: IndexStore,
     if old is None and new_dl > 0:
         by_host[host] = by_host.get(host, 0) + 1
     store.write_meta(meta)
+    store.invalidate_reads()
     return {"doc_id": doc_id, "old_existed": old is not None,
             "n_terms": len(new_counts)}
 
@@ -254,6 +255,7 @@ def delete_page(spark: SparkSession, store: IndexStore, url: str) -> dict:
     meta["n_dl"] = meta.get("n_dl", 0) - (1 if old_dl > 0 else 0)
     meta["avgdl"] = (meta["sum_dl"] / meta["n_dl"]) if meta["n_dl"] else 0.0
     store.write_meta(meta)
+    store.invalidate_reads()
     return {"doc_id": doc_id, "deleted": True}
 
 
@@ -405,6 +407,7 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
     store.write_meta(meta)
 
     n_batch = len(all_ids)
+    store.invalidate_reads()
     for df_ in (prep, old_docs, new_posts, old_posts):
         df_.unpersist()
     return {"batch_docs": n_batch, "gen": gen,
@@ -433,4 +436,5 @@ def compact(spark: SparkSession, store: IndexStore,
     os.rename(store.path, backup)
     os.rename(fresh_dir, store.path)
     shutil.rmtree(backup, ignore_errors=True)
+    store.invalidate_reads()
     return meta

@@ -218,6 +218,7 @@ class IndexStore:
                          nbytes=_dir_bytes(self.path))
         postings.unpersist()
         terms.unpersist()
+        self.invalidate_reads()
         return self.meta()
 
     # ---------------- read ----------------
@@ -238,17 +239,33 @@ class IndexStore:
             return None
         return spark.read.parquet(p)
 
+    def _cached(self, spark: SparkSession, name: str) -> DataFrame:
+        """Reuse DataFrame handles per (session, table): parquet file
+        listing + schema inference run once per session instead of per
+        query (repeat-query latency). Invalidated by incremental writes
+        via invalidate_reads()."""
+        cache = getattr(self, "_read_cache", None)
+        if cache is None:
+            cache = self._read_cache = {}
+        key = (id(spark), name)
+        if key not in cache:
+            cache[key] = spark.read.parquet(os.path.join(self.path, name))
+        return cache[key]
+
+    def invalidate_reads(self) -> None:
+        self._read_cache = {}
+
     def blocks(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "blocks"))
+        return self._cached(spark, "blocks")
 
     def terms(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "terms"))
+        return self._cached(spark, "terms")
 
     def doclens(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "doclens"))
+        return self._cached(spark, "doclens")
 
     def docs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "docs"))
+        return self._cached(spark, "docs")
 
     def query_blocks(self, spark: SparkSession, q_terms: list[str]) -> DataFrame:
         """Blocks of the query terms with partition pruning. Buckets are

@@ -125,9 +125,19 @@ def live_docids(spark: SparkSession, store: IndexStore,
             .select("doc_id"))
 
 
+EXHAUSTIVE_POSTINGS_BUDGET = 5_000_000
+
+
 def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
-              k: int, mode: str = "compat") -> DataFrame:
+              k: int, mode: str = "compat",
+              exhaustive_budget: int = EXHAUSTIVE_POSTINGS_BUDGET) -> DataFrame:
     """Exact top-k (doc_id, score) using block-max pruning.
+
+    Adaptive: when Σ df over the query terms is below exhaustive_budget,
+    the two-pass pruning cannot beat one straight decode+agg job — a
+    single Spark action wins on scheduling overhead (driver-decided from
+    the terms dictionary alone; the plans are result-identical, verified
+    in tests both ways).
 
     Returns the same rows as query.topk(candidate_scores(...), k) on the
     flat postings — verified in tests/test_index_store.py.
@@ -149,8 +159,28 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         idf = {t: S.idf_bm25_py(tstats[t][0], n_docs) for t in present}
         ubmax = {t: S.upper_bound_bm25(tstats[t][1], idf[t]) for t in present}
 
-    qblocks = store.query_blocks(spark, present).persist()
+    sum_df = sum(tstats[t][0] for t in present)
+    small = sum_df <= exhaustive_budget
+
+    qblocks = store.query_blocks(spark, present)
+    if not small:
+        qblocks = qblocks.persist()
     try:
+        if small:
+            idf_small = F.broadcast(spark.createDataFrame(
+                [(t, float(idf[t])) for t in present],
+                "term string, idf double"))
+            c = live_postings(spark, store, qblocks).join(idf_small, "term")
+            if mode == "compat":
+                w = S.tf_weight_compat(F.col("tf"))
+            else:
+                c = c.join(store.doclens(spark), "doc_id")
+                w = S.tf_weight_bm25(F.col("tf"), F.col("dl"), meta["avgdl"])
+            rows = (c.select("doc_id", (w * F.col("idf")).alias("contrib"))
+                    .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                    .collect())
+            return spark.createDataFrame(rows, "doc_id long, score double")
         t_star = max(present, key=lambda t: ubmax[t])
         others = [t for t in present if t != t_star]
 

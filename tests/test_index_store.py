@@ -61,9 +61,11 @@ def test_terms_and_meta(spark, store, index_frames, oracle):
         assert b["max_tf"] == int(tfs.max()) and b["n"] == len(tfs)
 
 
+@pytest.mark.parametrize("budget", [0, 5_000_000])  # 0 forces the pruned 2-pass
 @pytest.mark.parametrize("mode", ["compat", "bm25"])
 @pytest.mark.parametrize("k", [5, 10, 50])
-def test_wand_equals_plain(spark, store, index_frames, oracle, mode, k, qterms_idx):
+def test_wand_equals_plain(spark, store, index_frames, oracle, mode, k,
+                           qterms_idx, budget):
     p, t, dls = index_frames
     n = B.corpus_size(p)
     q = qterms_idx
@@ -76,7 +78,8 @@ def test_wand_equals_plain(spark, store, index_frames, oracle, mode, k, qterms_i
     want = [(r["doc_id"], r["score"])
             for r in Q.topk(plain, k).collect()]
     got = [(r["doc_id"], r["score"])
-           for r in wand_topk(spark, store, q, k, mode).collect()]
+           for r in wand_topk(spark, store, q, k, mode,
+                              exhaustive_budget=budget).collect()]
     assert len(got) == len(want)
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd, gs, ws)
