@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 import struct
-from collections import Counter, defaultdict
+from collections import Counter
 
 from search_engine_skillbox_spark.functions.textprep import (
     PY_TOKEN_SPLIT, extract_text_py)

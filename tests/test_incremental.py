@@ -7,7 +7,6 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from pyspark.sql import functions as F
 
 from search_engine_skillbox_spark.operators import build as B
 from search_engine_skillbox_spark.operators.incremental import (

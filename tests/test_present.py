@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from search_engine_skillbox_spark.operators.present import (
     MAX_SNIPPET_LENGTH, build_result_url, build_snippet, build_title,

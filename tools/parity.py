@@ -87,7 +87,6 @@ def main():
         print(f"{status} {name}: spark rows={sn} hash={sh} cols={scols} | "
               f"oracle rows={on} hash={oh} cols={ocols}")
         if status == "FAIL" and sn and on:
-            import pandas as pd
             s2 = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(list(sorted(sdf.columns))).head(5)
             o2 = odf.reindex(sorted(odf.columns), axis=1).sort_values(list(sorted(odf.columns))).head(5)
             print("  spark head:\n", s2.to_string())
