@@ -19,13 +19,18 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-DOCS = int(os.environ.get("SCALE_DOCS", "120000"))
-SHUFFLE = int(os.environ.get("SCALE_SHUFFLE", "64"))  # sized for local[32]
+DOCS = int(os.environ.get("SCALE_DOCS", "2000000"))
+SHUFFLE = int(os.environ.get("SCALE_SHUFFLE", "128"))  # sized for local[32]
 LEVELS = (8, 32)
 
 
 def spark_submit(cpus: int, script: str, *args: str) -> dict:
+    # taskset pins the WHOLE process tree (JVM + python workers) to an
+    # N-core budget — without it, pandas-UDF workers run outside the
+    # local[N] thread budget and the N-core level silently uses ~2N
+    # cores, invalidating the N→4N comparison.
     cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
         "spark-submit", "--master", f"local[{cpus}]",
         "--conf", f"spark.sql.shuffle.partitions={SHUFFLE}",
         "--conf", "spark.ui.enabled=false",
@@ -105,7 +110,7 @@ def main() -> None:
              .config("spark.ui.enabled", "false")
              .config("spark.driver.memory", "24g").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    pages_df(spark, DOCS, partitions=128).write.parquet(corpus)
+    pages_df(spark, DOCS, partitions=max(128, DOCS // 8000)).write.parquet(corpus)
     spark.stop()
 
     results = {}
@@ -113,10 +118,10 @@ def main() -> None:
         idx = os.path.join(tmp, f"idx{cpus}")
         build = spark_submit(
             cpus, "jobs/build_index.py", "--input", corpus,
-            "--output", idx, "--buckets", "32",
+            "--output", idx, "--buckets", "32", "--assume-unique",
             "--salt-threshold", "50000", "--checkpoint-groups", "1")
         query = spark_submit(cpus, "jobs/query_bench.py", "--index", idx,
-                             "--reps", "10")
+                             "--reps", "5")
         results[cpus] = {"build": build, "query": query}
         print(json.dumps({cpus: results[cpus]}), flush=True)
 

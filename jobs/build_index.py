@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--checkpoint-groups", type=int, default=4)
     ap.add_argument("--build-id", default="b0")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--assume-unique", action="store_true",
+                    help="input is unique by normalized url: skip the "
+                         "upsert-dedup shuffle (bulk snapshot loads)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,7 +50,7 @@ def main() -> None:
         raw = spark.read.parquet(args.input)
 
     t0 = time.time()
-    prepared = prepare_pages(raw).persist()
+    prepared = prepare_pages(raw, assume_unique=args.assume_unique).persist()
     n_pages = prepared.count()
     store = IndexStore(args.output, n_buckets=args.buckets,
                        salt_threshold=args.salt_threshold)

@@ -113,6 +113,11 @@ class IndexStore:
         postings, terms, _ = build_index_frames(prepared)
         postings = postings.persist()
         terms = terms.persist()
+        # Materialize BOTH caches before the dims/blocks threads fork:
+        # two lazy threads racing an unmaterialized persist() compute the
+        # whole lineage twice (observed as duplicated 128-task stages).
+        postings.count()
+        terms.count()
         # dl = Σ tf from postings — avoids re-tokenizing the whole corpus;
         # zero-term docs have no postings and BM25 never weights them
         doclens = postings.groupBy("doc_id").agg(
@@ -145,77 +150,129 @@ class IndexStore:
         terms_full = (terms.join(max_tf, "term")
                       .withColumn("bucket", bucket.cast("int")))
 
-        for gi, buckets in enumerate(groups):
-            pid = f"blocks-g{gi}"
-            if pid in done:
-                continue
+        # Dimension tables + stats run CONCURRENTLY with the block groups
+        # (separate output dirs, independent lineage units): a multi-job
+        # Spark scheduler interleaves their stages into idle task slots,
+        # removing the serial dims tail that otherwise caps N→4N scaling
+        # (Amdahl; measured 33 s flat at every level before this change).
+        def run_dims() -> None:
+            pid = "dims"
+            if pid in lineage.done_partitions(build_id):
+                return
             t0 = lineage.start(build_id, pid)
             try:
-                part = (salted.filter(F.col("bucket").isin(buckets))
-                        .repartition(shuffle_parts, "term", "salt")
-                        .sortWithinPartitions("term", "salt", "doc_id")
-                        .mapInPandas(_encode_partition, BLOCKS_SCHEMA)
-                        .withColumn("gen", F.lit(0))
-                        .withColumn("bucket",
-                                    F.pmod(F.xxhash64(F.col("term")),
-                                           F.lit(self.n_buckets)).cast("int")))
-                target = os.path.join(self.path, "blocks")
-                (part.write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy("bucket").parquet(target))
-                if fail_after_group is not None and gi >= fail_after_group:
-                    raise RuntimeError(f"synthetic failure after group {gi}")
-                lineage.done(build_id, pid, t0, rows=len(buckets),
-                             nbytes=_dir_bytes(target))
-            except Exception as e:  # mirror FAILED(lastError)
+                doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
+                                    F.lit(self.n_buckets)).cast("int")
+                stats: dict = {}
+
+                def w_terms():
+                    (terms_full.write.mode("overwrite").partitionBy("bucket")
+                     .parquet(os.path.join(self.path, "terms")))
+
+                def w_doclens():
+                    (doclens.withColumn("doc_bucket", doc_bucket)
+                     .write.mode("overwrite").partitionBy("doc_bucket")
+                     .parquet(os.path.join(self.path, "doclens")))
+
+                def w_docs():
+                    (prepared.select("doc_id", "url", "url_norm", "host",
+                                     "path", "text", "lang")
+                     .withColumn("doc_bucket", doc_bucket)
+                     .write.mode("overwrite").partitionBy("doc_bucket")
+                     .parquet(os.path.join(self.path, "docs")))
+
+                def agg_global():
+                    # one pass over postings: Σtf == Σdl and the distinct
+                    # doc count == |docs with ≥1 posting| == n_dl == N
+                    r = postings.agg(
+                        F.sum("tf").alias("s"),
+                        F.countDistinct("doc_id").alias("n")).first()
+                    stats["sum_dl"] = int(r["s"] or 0)
+                    stats["n_docs"] = int(r["n"] or 0)
+
+                def agg_host():
+                    rows = (postings
+                            .join(prepared.select("doc_id", "host"), "doc_id")
+                            .groupBy("host")
+                            .agg(F.countDistinct("doc_id").alias("nd"),
+                                 F.countDistinct("term").alias("nt"))
+                            .collect())
+                    stats["per_host"] = {r["host"]: r["nd"] for r in rows}
+                    stats["terms_by_host"] = {r["host"]: r["nt"] for r in rows}
+
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(5) as pool:
+                    futs = [pool.submit(f) for f in
+                            (w_terms, w_doclens, w_docs, agg_global, agg_host)]
+                    for f in futs:
+                        f.result()
+
+                n_docs = stats["n_docs"]
+                sum_dl = stats["sum_dl"]
+                avgdl = (sum_dl / n_docs) if n_docs else 0.0
+                meta = {"n_docs": n_docs,
+                        "n_docs_by_host": stats["per_host"],
+                        "gen": 0, "sum_dl": sum_dl, "n_dl": n_docs,
+                        "n_terms_by_host": stats["terms_by_host"],
+                        "avgdl": float(avgdl),
+                        "n_buckets": self.n_buckets,
+                        "salt_threshold": self.salt_threshold,
+                        "build_id": build_id}
+                with open(os.path.join(self.path, "meta.json"), "w") as f:
+                    json.dump(meta, f)
+                lineage.done(build_id, pid, t0, rows=n_docs,
+                             nbytes=_dir_bytes(self.path))
+            except Exception as e:
                 lineage.failed(build_id, pid, t0, str(e))
                 raise
 
-        # dimension tables + metadata (idempotent overwrites)
-        pid = "dims"
-        if pid not in lineage.done_partitions(build_id):
-            t0 = lineage.start(build_id, pid)
-            (terms_full.write.mode("overwrite")
-             .partitionBy("bucket").parquet(os.path.join(self.path, "terms")))
-            doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
-                                F.lit(self.n_buckets)).cast("int")
-            (doclens.withColumn("doc_bucket", doc_bucket)
-             .write.mode("overwrite").partitionBy("doc_bucket")
-             .parquet(os.path.join(self.path, "doclens")))
-            (prepared.select("doc_id", "url", "url_norm", "host", "path",
-                             "text", "lang")
-             .withColumn("doc_bucket", doc_bucket)
-             .write.mode("overwrite").partitionBy("doc_bucket")
-             .parquet(os.path.join(self.path, "docs")))
-            n_docs = postings.select("doc_id").distinct().count()
-            host_posts = postings.join(
-                prepared.select("doc_id", "host"), "doc_id").persist()
-            per_host = {r["host"]: r["n"] for r in
-                        host_posts.groupBy("host")
-                        .agg(F.countDistinct("doc_id").alias("n"))
-                        .collect()}
-            terms_by_host = {r["host"]: r["n"] for r in
-                             host_posts.groupBy("host")
-                             .agg(F.countDistinct("term").alias("n"))
-                             .collect()}
-            host_posts.unpersist()
-            dl_stats = (doclens.filter(F.col("dl") > 0)
-                        .agg(F.sum("dl").alias("s"),
-                             F.count(F.lit(1)).alias("c")).first())
-            sum_dl = int(dl_stats["s"] or 0)
-            n_dl = int(dl_stats["c"] or 0)
-            avgdl = (sum_dl / n_dl) if n_dl else 0.0
-            meta = {"n_docs": n_docs, "n_docs_by_host": per_host,
-                    "gen": 0, "sum_dl": sum_dl, "n_dl": n_dl,
-                    "n_terms_by_host": terms_by_host,
-                    "avgdl": float(avgdl),
-                    "n_buckets": self.n_buckets,
-                    "salt_threshold": self.salt_threshold,
-                    "build_id": build_id}
-            with open(os.path.join(self.path, "meta.json"), "w") as f:
-                json.dump(meta, f)
-            lineage.done(build_id, pid, t0, rows=n_docs,
-                         nbytes=_dir_bytes(self.path))
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+        dims_pool = _TPE(1)
+        dims_fut = dims_pool.submit(run_dims)
+
+        blocks_err: Exception | None = None
+        try:
+            for gi, buckets in enumerate(groups):
+                pid = f"blocks-g{gi}"
+                if pid in done:
+                    continue
+                t0 = lineage.start(build_id, pid)
+                try:
+                    part = (salted.filter(F.col("bucket").isin(buckets))
+                            .repartition(shuffle_parts, "term", "salt")
+                            .sortWithinPartitions("term", "salt", "doc_id")
+                            .mapInPandas(_encode_partition, BLOCKS_SCHEMA)
+                            .withColumn("gen", F.lit(0))
+                            .withColumn(
+                                "bucket",
+                                F.pmod(F.xxhash64(F.col("term")),
+                                       F.lit(self.n_buckets)).cast("int")))
+                    target = os.path.join(self.path, "blocks")
+                    # coalesce encoded (small, compressed) rows to one task
+                    # per bucket: 32 output files instead of tasks×buckets,
+                    # an order less driver-side commit work
+                    (part.repartition(len(buckets), F.col("bucket"))
+                     .write.mode("overwrite")
+                     .option("partitionOverwriteMode", "dynamic")
+                     .partitionBy("bucket").parquet(target))
+                    if fail_after_group is not None and gi >= fail_after_group:
+                        raise RuntimeError(
+                            f"synthetic failure after group {gi}")
+                    lineage.done(build_id, pid, t0, rows=len(buckets),
+                                 nbytes=_dir_bytes(target))
+                except Exception as e:  # mirror FAILED(lastError)
+                    lineage.failed(build_id, pid, t0, str(e))
+                    blocks_err = e
+                    raise
+        finally:
+            try:
+                dims_fut.result()
+            except Exception:
+                if blocks_err is None:
+                    dims_pool.shutdown()
+                    raise
+            dims_pool.shutdown()
+
         postings.unpersist()
         terms.unpersist()
         self.invalidate_reads()
