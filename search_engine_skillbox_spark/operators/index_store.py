@@ -113,10 +113,11 @@ class IndexStore:
         postings, terms, _ = build_index_frames(prepared)
         postings = postings.persist()
         terms = terms.persist()
-        # Materialize BOTH caches before the dims/blocks threads fork:
-        # two lazy threads racing an unmaterialized persist() compute the
-        # whole lineage twice (observed as duplicated 128-task stages).
-        postings.count()
+        # Materialize the caches before the dims/blocks threads fork: two
+        # lazy threads racing an unmaterialized persist() compute the whole
+        # lineage twice (observed as duplicated 128-task stages). ONE job
+        # suffices — computing terms scans postings, so the postings cache
+        # fills as a side effect of the same pass.
         terms.count()
         # dl = Σ tf from postings — avoids re-tokenizing the whole corpus;
         # zero-term docs have no postings and BM25 never weights them
@@ -171,6 +172,7 @@ class IndexStore:
 
                 def w_doclens():
                     (doclens.withColumn("doc_bucket", doc_bucket)
+                     .repartition(self.n_buckets, F.col("doc_bucket"))
                      .write.mode("overwrite").partitionBy("doc_bucket")
                      .parquet(os.path.join(self.path, "doclens")))
 
@@ -178,6 +180,7 @@ class IndexStore:
                     (prepared.select("doc_id", "url", "url_norm", "host",
                                      "path", "text", "lang")
                      .withColumn("doc_bucket", doc_bucket)
+                     .repartition(self.n_buckets, F.col("doc_bucket"))
                      .write.mode("overwrite").partitionBy("doc_bucket")
                      .parquet(os.path.join(self.path, "docs")))
 
@@ -250,7 +253,7 @@ class IndexStore:
                     target = os.path.join(self.path, "blocks")
                     # coalesce encoded (small, compressed) rows to one task
                     # per bucket: 32 output files instead of tasks×buckets,
-                    # an order less driver-side commit work
+                    # an order less driver-side commit work (A/B'd: wins)
                     (part.repartition(len(buckets), F.col("bucket"))
                      .write.mode("overwrite")
                      .option("partitionOverwriteMode", "dynamic")
