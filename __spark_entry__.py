@@ -83,6 +83,48 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK))
 
 
+def q_search_tfidf_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: site-filtered search — df and N recomputed WITHIN the site,
+    exactly like the reference's site-variant JPQL
+    (IndexRepository.java:41-50)."""
+    docs = _docs(spark, sf_dir).filter(F.col("source") == "src3")
+    p, t, _ = B.build_index_frames(docs)
+    p = p.persist()
+    n = B.corpus_size(p)
+    scores = Q.candidate_scores(p, t, n, QUERY_TERMS, "compat")
+    return (scores.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK))
+
+
+_QTERMS_SQL = "('" + "'), ('".join(QUERY_TERMS) + "')"
+
+_SQL_TFIDF_SITE = f"""WITH
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}]+')) AS term
+  FROM documents WHERE source = 'src3'
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
+qdf AS (
+  SELECT term, count(*) AS df FROM postings
+  WHERE term IN (SELECT q FROM (VALUES {_QTERMS_SQL}) v(q)) GROUP BY term
+),
+scores AS (
+  SELECT p.doc_id,
+         sum(p.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) AS raw
+  FROM postings p JOIN qdf d USING (term) CROSS JOIN n
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scores
+ORDER BY round(raw, 4) DESC, doc_id ASC
+LIMIT {TOPK}"""
+
+
 def q_site_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: dashboard statistics — pages + distinct terms per site(source)."""
     docs = _docs(spark, sf_dir)
@@ -132,7 +174,6 @@ postings AS (
 )
 """
 
-_QTERMS_SQL = "('" + "'), ('".join(QUERY_TERMS) + "')"
 
 _SQL_POSTINGS = f"WITH {_TOKS} SELECT doc_id, term, tf FROM postings"
 
@@ -240,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": q_doc_lengths,
         "corpus_size": q_corpus_size,
         "search_tfidf_topk": q_search_tfidf_topk,
+        "search_tfidf_site": q_search_tfidf_site,
         "search_bm25_topk": q_search_bm25_topk,
         "site_statistics": q_site_statistics,
         "url_normalize": q_url_normalize,
@@ -255,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lengths": _SQL_DOC_LENGTHS,
         "corpus_size": _SQL_CORPUS_SIZE,
         "search_tfidf_topk": _SQL_TFIDF,
+        "search_tfidf_site": _SQL_TFIDF_SITE,
         "search_bm25_topk": _SQL_BM25,
         "site_statistics": _SQL_SITE_STATS,
         "url_normalize": _SQL_URL_NORM,
