@@ -1,0 +1,39 @@
+"""Property-based codec tests: varint/delta roundtrip over adversarial
+doc_id distributions (hypothesis; no Spark needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_skillbox_spark.operators.codec import (
+    BLOCK_SIZE, decode_block, encode_postings, varint_decode, varint_encode)
+
+i64 = st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)
+
+
+@given(st.lists(st.integers(0, 2 ** 64 - 1), min_size=0, max_size=300))
+@settings(max_examples=200)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, np.uint64)
+    assert (varint_decode(varint_encode(arr)) == arr).all()
+
+
+@given(st.lists(i64, min_size=1, max_size=500, unique=True),
+       st.lists(st.integers(1, 10 ** 6), min_size=1, max_size=500))
+@settings(max_examples=100)
+def test_block_roundtrip(ids, tfs):
+    n = min(len(ids), len(tfs))
+    doc_ids = np.sort(np.array(ids[:n], np.int64))
+    tf = np.array(tfs[:n], np.int64)
+    out_ids, out_tfs = [], []
+    for b in encode_postings(doc_ids, tf):
+        d, t = decode_block(b["docs"], b["tfs"])
+        assert b["n"] == len(d) <= BLOCK_SIZE
+        assert b["max_tf"] == int(t.max())
+        assert b["first_doc"] == int(d[0]) and b["last_doc"] == int(d[-1])
+        out_ids.append(d)
+        out_tfs.append(t)
+    assert (np.concatenate(out_ids) == doc_ids).all()
+    assert (np.concatenate(out_tfs) == tf).all()
