@@ -178,7 +178,7 @@ postings AS (
 _SQL_POSTINGS = f"WITH {_TOKS} SELECT doc_id, term, tf FROM postings"
 
 _SQL_TERM_STATS = f"""WITH {_TOKS}
-SELECT term, count(*) AS df, sum(tf) AS cf FROM postings GROUP BY term"""
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM postings GROUP BY term"""
 
 _SQL_DOC_LENGTHS = f"""WITH {_TOKS},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)

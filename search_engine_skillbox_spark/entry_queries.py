@@ -240,7 +240,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _aug_emb(_emb(spark, sf_dir))
     aug = aug.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
-    out = D.embedding_neardup_pairs(aug, threshold=0.95)
+    # The gate filter must be on the SAME quantity both sides compare:
+    # round(cos, 6) >= 0.95 (the oracle's filter). The raw pre-filter is
+    # loosened below the rounding boundary (0.9499995) so a pair whose
+    # raw cosine rounds up to 0.95 is never dropped Spark-side only.
+    out = D.embedding_neardup_pairs(aug, threshold=0.9499990)
     out = out.select("id1", "id2", F.round("cos", 6).alias("cos"))
     return out.filter(F.col("cos") >= 0.95)
 

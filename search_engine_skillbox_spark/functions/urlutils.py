@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 def normalize_url(c: Column) -> Column:
     c = F.regexp_replace(c, r"#.*$", "")
     c = F.regexp_replace(c, r"^(https?://)www\.", "$1")
-    return F.regexp_replace(c, r"/$", "")
+    # Java strips the trailing "/" only when length > 1 (UrlUtils.java:29):
+    # the bare URL "/" stays "/". Lookbehind requires a preceding char.
+    return F.regexp_replace(c, r"(?<=.)/$", "")
 
 
 def url_host(c: Column) -> Column:
@@ -35,6 +37,13 @@ def url_path(c: Column) -> Column:
 
 
 def site_name(c: Column) -> Column:
-    """First label of the host, initial-capitalized (UrlUtils.java:43-60)."""
+    """First label of the host, initial-capitalized; malformed URLs (no
+    parseable host → new URL() throws, or an empty first label → the
+    substring(0,1) throws) fall back to "Unknown" (UrlUtils.java:43-60,
+    catch at :56-59)."""
     label = F.regexp_extract(url_host(c), r"^([^.]+)", 1)
-    return F.concat(F.upper(F.substring(label, 1, 1)), F.substring(label, 2, 2147483647))
+    return F.when(
+        c.isNull() | (F.length(label) == 0), F.lit("Unknown")
+    ).otherwise(
+        F.concat(F.upper(F.substring(label, 1, 1)),
+                 F.substring(label, 2, 2147483647)))
