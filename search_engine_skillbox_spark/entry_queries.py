@@ -453,6 +453,26 @@ def q_search_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK_W)
 
 
+def q_search_site_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9/J2 over the PHYSICAL index: site-filtered top-k answered from
+    the built posting blocks joined to the (doc_id, host) docs
+    projection, with df/N recomputed within the site (wand.site_topk) —
+    NO per-site index rebuild. Oracle: the same within-site TF-IDF SQL
+    as the logical search_tfidf_site query."""
+    from .operators.wand import site_topk
+    st, docs = _build_store(spark, sf_dir)
+    # over-fetch the full candidate set so the final tie-break can use
+    # the ORIGINAL doc_id (engine ids are xxhash64 of the url)
+    top = site_topk(spark, st, QUERY_TERMS_W, int(docs.count()), "src3.test")
+    url_doc = st.docs(spark).select(
+        "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("long").alias("orig_id"))
+    out = (top.join(F.broadcast(url_doc), "doc_id")
+           .select(F.col("orig_id").alias("doc_id"),
+                   F.round("score", 4).alias("score")))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK_W)
+
+
 QUERY_TERMS_W = ["spark", "join", "merge"]
 TOPK_W = 10
 
@@ -469,6 +489,32 @@ postings AS (
 """
 
 _SQL_ROUNDTRIP = f"WITH {_SQL_TOKS_PLAIN} SELECT doc_id, term, tf FROM postings"
+
+_SQL_WAND_SITE = f"""WITH
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}]+')) AS term
+  FROM documents WHERE source = 'src3'
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
+qdf AS (
+  SELECT term, count(*) AS df FROM postings
+  WHERE term IN ('spark', 'join', 'merge') GROUP BY term
+),
+scores AS (
+  SELECT p.doc_id,
+         sum(p.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) AS raw
+  FROM postings p JOIN qdf d USING (term) CROSS JOIN n
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scores
+ORDER BY round(raw, 4) DESC, doc_id ASC
+LIMIT {TOPK_W}"""
 
 _SQL_WAND = f"""WITH {_SQL_TOKS_PLAIN},
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
@@ -491,6 +537,7 @@ LIMIT {TOPK_W}"""
 QUERIES = {
     "index_block_roundtrip": q_index_roundtrip,
     "search_wand_topk": q_search_wand_topk,
+    "search_tfidf_site_physical": q_search_site_physical,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -504,6 +551,7 @@ QUERIES = {
 ORACLES = {
     "index_block_roundtrip": _SQL_ROUNDTRIP,
     "search_wand_topk": _SQL_WAND,
+    "search_tfidf_site_physical": _SQL_WAND_SITE,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": _minhash_sql(),

@@ -7,13 +7,12 @@ of GET /api/search end-to-end (SURVEY §3.1):
   and quirks (Q4 result:false on out-of-range offset, Q7 blank site,
   Q8 raw float32 relevance).
 
-Site-filtered search (T9): the reference recomputes df/N within the
-site per query (IndexRepository.java:41-50). At 10^12 docs we don't
-re-aggregate; the build stores per-host N (meta) and the query path
-applies the host filter AFTER hydration only when the candidate set is
-small, or pre-filters postings by a host-salted index in a full
-deployment. Here: exact per-host stats are recomputed on the pruned
-postings (the sandbox corpus makes that cheap) via search_site().
+Site-filtered search (T9): `site=` (a host, the engine's site key)
+routes to wand.site_topk — candidates from the term-pruned physical
+blocks joined to the (doc_id, host) projection of docs/, with df and
+N recomputed WITHIN the site exactly like the reference's site JPQL
+(IndexRepository.java:41-50; SearchServiceImpl.java:81-106). No
+per-site rebuild; cost bounded by the query terms' posting lists.
 """
 
 from __future__ import annotations
@@ -25,26 +24,36 @@ from pyspark.sql import functions as F
 from ..functions.textprep import distinct_query_terms, query_words
 from .index_store import IndexStore
 from .present import build_result_url, hydrate_topk
-from .wand import wand_topk
+from .wand import site_topk, wand_topk
 
 
 def search_service(spark: SparkSession, store: IndexStore, query: str,
                    offset: int = 0, limit: int = 10,
-                   mode: str = "compat") -> dict:
+                   mode: str = "compat", site: str | None = None) -> dict:
+    """site: optional host filter (the reference's `site` query param,
+    SearchServiceImpl.java:27); blank behaves like absent (:85)."""
     if query is None or not query.strip():
         return {"result": False, "count": 0, "data": []}
     q_terms = distinct_query_terms(query)
     if not q_terms:
         return {"result": True, "count": 0, "data": []}
     meta = store.meta()
-    if meta["n_docs"] <= 0:
+    site = site.strip() if site else None
+    if site:
+        n_scope = int(meta.get("n_docs_by_host", {}).get(site, 0))
+    else:
+        n_scope = meta["n_docs"]
+    if n_scope <= 0:
         return {"result": True, "count": 0, "data": []}
 
     limit = max(1, limit)
     offset = max(0, offset)
     k = offset + limit
 
-    topk = wand_topk(spark, store, q_terms, k, mode)
+    if site:
+        topk = site_topk(spark, store, q_terms, k, site, mode)
+    else:
+        topk = wand_topk(spark, store, q_terms, k, mode)
     rows = topk.collect()
 
     # total match count (reference returns total matches, not page size):
@@ -54,6 +63,13 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
     has_tomb = store.tombstones(spark) is not None
     if not trows:
         total = 0
+    elif site:
+        from .wand import live_docids
+        dhost = (store.docs(spark).select("doc_id", "host")
+                 .filter(F.col("host") == site).select("doc_id"))
+        total = (live_docids(spark, store,
+                             store.query_blocks(spark, q_terms))
+                 .join(dhost, "doc_id").distinct().count())
     elif len(trows) == 1 and len(q_terms) == 1 and not has_tomb:
         total = trows[0]["df"]
     else:

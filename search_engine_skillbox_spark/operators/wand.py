@@ -125,6 +125,68 @@ def live_docids(spark: SparkSession, store: IndexStore,
             .select("doc_id"))
 
 
+def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
+              k: int, host: str, mode: str = "compat") -> DataFrame:
+    """T9/J2: site-filtered exact top-k served FROM the physical index
+    (no per-site rebuild).
+
+    The reference recomputes df and N within the site on every query
+    (repository/IndexRepository.java:41-50, site JPQL;
+    service/SearchServiceImpl.java:81-106). Spark shape:
+
+      1. N(site) comes from the per-host doc counts persisted at build
+         time (meta.json n_docs_by_host) — zero jobs.
+      2. Candidates = decoded postings of the query terms only
+         (partition-pruned blocks scan), inner-joined to the
+         (doc_id, host) column-pruned projection of docs/ filtered to
+         the host. Cost is bounded by Σ df of the query terms — the
+         same bound as the global path — never by corpus or site size.
+      3. Within-site df per term = countDistinct(doc) over those
+         candidates (the reference's countDocsByLemmaAndSite).
+      4. idf from (df_site, N_site); OR-sum score; exact top-k.
+
+    Block-max pruning is skipped here: per-block max_tf bounds are
+    global, not per-host, so they cannot tighten θ within a site; the
+    candidate set is already term-pruned, which is the dominant filter.
+    """
+    empty = "doc_id long, score double"
+    if not q_terms:
+        return spark.createDataFrame([], empty)
+    meta = store.meta()
+    n_site = int(meta.get("n_docs_by_host", {}).get(host, 0))
+    if n_site <= 0:
+        return spark.createDataFrame([], empty)
+    present = [r["term"] for r in store.query_terms_rows(spark, q_terms)]
+    if not present:
+        return spark.createDataFrame([], empty)
+
+    dhost = (store.docs(spark).select("doc_id", "host")
+             .filter(F.col("host") == host).select("doc_id"))
+    qblocks = store.query_blocks(spark, present)
+    cand = live_postings(spark, store, qblocks).join(dhost, "doc_id").persist()
+    try:
+        site_df = {r["term"]: r["df"] for r in
+                   cand.groupBy("term")
+                   .agg(F.countDistinct("doc_id").alias("df")).collect()}
+        idf_py = S.idf_compat_py if mode == "compat" else S.idf_bm25_py
+        idf = {t: idf_py(site_df.get(t, 0), n_site) for t in present}
+        idf_df = F.broadcast(spark.createDataFrame(
+            [(t, float(idf[t])) for t in present], "term string, idf double"))
+        c = cand.join(idf_df, "term")
+        if mode == "compat":
+            w = S.tf_weight_compat(F.col("tf"))
+        else:
+            c = c.join(store.doclens(spark), "doc_id")
+            w = S.tf_weight_bm25(F.col("tf"), F.col("dl"), meta["avgdl"])
+        rows = (c.select("doc_id", (w * F.col("idf")).alias("contrib"))
+                .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .collect())
+        return spark.createDataFrame(rows, empty)
+    finally:
+        cand.unpersist()
+
+
 EXHAUSTIVE_POSTINGS_BUDGET = 5_000_000
 
 

@@ -102,6 +102,50 @@ def test_wand_single_and_absent(spark, store, qterms_idx):
     assert wand_topk(spark, store, [], 10).count() == 0
 
 
+def test_site_topk_equals_logical(spark, store, prepared, index_frames,
+                                  qterms_idx):
+    """T9/J2: site-filtered top-k from the physical index must equal the
+    logical rebuild-within-site path (df/N recomputed in the site, like
+    IndexRepository.java:41-50)."""
+    from search_engine_skillbox_spark.operators.wand import site_topk
+    host = "alpha.test"
+    p, _, _ = index_frames
+    ids = prepared.filter(F.col("host") == host).select("doc_id")
+    p_site = p.join(ids, "doc_id")
+    t_site = B.term_stats(p_site)
+    n_site = B.corpus_size(p_site)
+    want = [(r["doc_id"], r["score"]) for r in
+            Q.topk(Q.candidate_scores(p_site, t_site, n_site, qterms_idx,
+                                      "compat"), 10).collect()]
+    got = [(r["doc_id"], r["score"]) for r in
+           site_topk(spark, store, qterms_idx, 10, host).collect()]
+    assert len(got) == len(want) > 0
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd, gs, ws)
+    # unknown host → empty; empty query → empty
+    assert site_topk(spark, store, qterms_idx, 10, "nohost.test").count() == 0
+    assert site_topk(spark, store, [], 10, host).count() == 0
+
+
+def test_search_service_site(spark, store, prepared, index_frames,
+                             qterms_idx):
+    """search_service(site=...) end-to-end: count and page are scoped to
+    the host; blank site behaves like absent (SearchServiceImpl.java:85)."""
+    from search_engine_skillbox_spark.operators.service import search_service
+    host = "alpha.test"
+    q = " ".join(qterms_idx)
+    res = search_service(spark, store, q, limit=5, site=host)
+    assert res["result"] is True and 0 < len(res["data"]) <= 5
+    p, _, _ = index_frames
+    ids = prepared.filter(F.col("host") == host).select("doc_id")
+    n_match = (p.filter(F.col("term").isin(qterms_idx))
+               .join(ids, "doc_id").select("doc_id").distinct().count())
+    assert res["count"] == n_match
+    blank = search_service(spark, store, q, limit=5, site="  ")
+    full = search_service(spark, store, q, limit=5)
+    assert blank["count"] == full["count"] >= res["count"]
+
+
 def test_resume(spark, prepared, index_frames, tmp_path):
     """Kill after group 0 committed → restart skips g0 and completes with an
     index identical to a clean build (SURVEY §5.5)."""
