@@ -28,7 +28,21 @@ merge-on-read shape):
     sandbox stand-in for Iceberg snapshot compaction
 
 Scale: one reindex touches ≤ |distinct terms of old ∪ new text| term
-buckets and exactly one doc bucket; nothing corpus-wide runs.
+buckets and exactly one doc bucket; nothing corpus-wide runs. Merges
+that rewrite a partition they also read (terms/docs/doclens/tombstones)
+are `localCheckpoint()`-ed first — the merged rows materialize to
+executor block storage, breaking the read-path dependency WITHOUT
+round-tripping rows through the driver (the round-1 driver-collect
+bottleneck); no collect() here scales with bucket or corpus size.
+
+Crash consistency: each mutation records per-step lineage rows
+(plans/checkpoint.Lineage, build_id = "incr-g<gen>") in the same file
+the build uses. The steps are ordered so a crash window leaves the
+index QUERY-SAFE but possibly stats-stale: tombstones land before new
+blocks (worst case: doc temporarily missing), dictionaries before meta
+(worst case: df/cf fresh, n_docs stale by one batch). check_consistency
+detects drift by recomputing df/cf from live blocks; compact() is the
+repair hammer (full rebuild from the maintained docs table).
 """
 
 from __future__ import annotations
@@ -48,6 +62,24 @@ from .index_store import IndexStore
 def _tokenize_py(text: str) -> list[str]:
     from ..functions.textprep import PY_TOKEN_SPLIT
     return [t for t in PY_TOKEN_SPLIT.split((text or "").lower()) if t]
+
+
+def _incr_lineage(store: IndexStore):
+    from ..plans.checkpoint import Lineage
+    return Lineage(os.path.join(store.path, "lineage.jsonl"))
+
+
+def _step(lineage, build_id: str, pid: str, fn) -> None:
+    """Run one incremental mutation step with a lineage row (RUNNING →
+    DONE/FAILED); a crash leaves an inspectable record of how far the
+    generation got (recovery: check_consistency / compact)."""
+    t0 = lineage.start(build_id, pid)
+    try:
+        fn()
+        lineage.done(build_id, pid, t0, rows=0, nbytes=0)
+    except Exception as e:
+        lineage.failed(build_id, pid, t0, str(e))
+        raise
 
 
 def _doc_row(spark: SparkSession, store: IndexStore, doc_id: int):
@@ -82,18 +114,20 @@ def _append_blocks(spark: SparkSession, store: IndexStore,
      .parquet(os.path.join(store.path, "blocks")))
 
 
-def _write_tombstone(spark: SparkSession, store: IndexStore,
-                     doc_id: int, dead_gen: int) -> None:
+def _write_tombstones(spark: SparkSession, store: IndexStore,
+                      dead: list[tuple[int, int]]) -> None:
+    """Merge (doc_id, dead_gen) rows into the tombstone table, keeping
+    the max dead_gen per doc. The merge reads the path it overwrites →
+    localCheckpoint materializes it first (no driver round-trip)."""
+    if not dead:
+        return
     tomb_path = os.path.join(store.path, "tombstones")
     old = store.tombstones(spark)
-    new = spark.createDataFrame([(doc_id, dead_gen)],
-                                "doc_id long, dead_gen int")
+    new = spark.createDataFrame(dead, "doc_id long, dead_gen int")
     if old is not None:
-        # keep the max dead_gen per doc
         merged = (old.unionByName(new).groupBy("doc_id")
-                  .agg(F.max("dead_gen").alias("dead_gen")))
-        merged = spark.createDataFrame(merged.collect(),
-                                       "doc_id long, dead_gen int")
+                  .agg(F.max("dead_gen").cast("int").alias("dead_gen"))
+                  .localCheckpoint())
     else:
         merged = new
     merged.coalesce(1).write.mode("overwrite").parquet(tomb_path)
@@ -128,9 +162,11 @@ def _update_terms(spark: SparkSession, store: IndexStore,
     upd = upd.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("term")),
                          F.lit(store.n_buckets)).cast("int"))
-    rows = upd.collect()  # affected buckets only — small
-    out = spark.createDataFrame(
-        rows, "term string, df long, cf long, max_tf int, bucket int")
+    # localCheckpoint (not collect): the merge reads terms/ and dynamic-
+    # overwrites the same path; materializing to executor block storage
+    # breaks the dependency without driver round-trips that would scale
+    # with bucket size (dictionary/n_buckets rows per touched bucket).
+    out = upd.localCheckpoint()
     (out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("bucket").parquet(os.path.join(store.path, "terms")))
 
@@ -153,12 +189,16 @@ def _update_doc_tables(spark: SparkSession, store: IndexStore,
                 .filter(F.col("doc_id") != doc_id)
                 .select("doc_id", "url", "url_norm", "host", "path",
                         "text", "lang"))
-    rows = docs_cur.collect()
     if new_row is not None:
-        rows.append(Row(**new_row))
-    out = spark.createDataFrame(
-        rows, "doc_id long, url string, url_norm string, host string, "
-              "path string, text string, lang string")
+        add = spark.createDataFrame(
+            [Row(**new_row)],
+            "doc_id long, url string, url_norm string, host string, "
+            "path string, text string, lang string")
+        docs_cur = docs_cur.unionByName(add)
+    # localCheckpoint: the merged bucket (which includes full text rows)
+    # never round-trips through the driver; the read-path dependency on
+    # docs/ is cut before the dynamic overwrite of the same path.
+    out = docs_cur.localCheckpoint()
     (out.withColumn("doc_bucket", F.lit(dbucket).cast("int"))
      .coalesce(1).write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -167,11 +207,11 @@ def _update_doc_tables(spark: SparkSession, store: IndexStore,
     dl_cur = (store.doclens(spark)
               .filter(F.col("doc_bucket") == dbucket)
               .filter(F.col("doc_id") != doc_id)
-              .select("doc_id", "dl"))
-    dl_rows = dl_cur.collect()
+              .select("doc_id", F.col("dl").cast("int").alias("dl")))
     if new_dl is not None and new_dl > 0:
-        dl_rows.append(Row(doc_id=doc_id, dl=new_dl))
-    dl_out = spark.createDataFrame(dl_rows, "doc_id long, dl int")
+        dl_cur = dl_cur.unionByName(spark.createDataFrame(
+            [(doc_id, new_dl)], "doc_id long, dl int"))
+    dl_out = dl_cur.localCheckpoint()
     (dl_out.withColumn("doc_bucket", F.lit(dbucket).cast("int"))
      .coalesce(1).write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -197,20 +237,26 @@ def reindex_page(spark: SparkSession, store: IndexStore,
     old = _doc_row(spark, store, doc_id)
     old_counts = Counter(_tokenize_py(old["text"])) if old is not None else Counter()
 
+    lineage = _incr_lineage(store)
+    bid = f"incr-g{gen}"
     # 1. tombstone old generations (delete-if-exists, S9)
     if old is not None:
-        _write_tombstone(spark, store, doc_id, gen - 1)
+        _step(lineage, bid, "tombstones",
+              lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]))
     # 2. append new postings as generation `gen`
-    _append_blocks(spark, store, doc_id, new_counts, gen)
+    _step(lineage, bid, "blocks",
+          lambda: _append_blocks(spark, store, doc_id, new_counts, gen))
     # 3. exact dictionary deltas
-    _update_terms(spark, store, old_counts, new_counts)
+    _step(lineage, bid, "terms",
+          lambda: _update_terms(spark, store, old_counts, new_counts))
     # 4. docs/doclens row replacement
     new_row = {"doc_id": doc_id, "url": prep["url"],
                "url_norm": prep["url_norm"], "host": prep["host"],
                "path": prep["path"], "text": new_text,
                "lang": prep["lang"]}
     new_dl = sum(new_counts.values())
-    _update_doc_tables(spark, store, doc_id, new_row, new_dl)
+    _step(lineage, bid, "docs",
+          lambda: _update_doc_tables(spark, store, doc_id, new_row, new_dl))
     # 5. meta: n_docs / avgdl / gen
     old_dl = sum(old_counts.values())
     meta["gen"] = gen
@@ -245,9 +291,14 @@ def delete_page(spark: SparkSession, store: IndexStore, url: str) -> dict:
     meta = store.meta()
     gen = int(meta.get("gen", 0)) + 1
     old_counts = Counter(_tokenize_py(old["text"]))
-    _write_tombstone(spark, store, doc_id, gen - 1)
-    _update_terms(spark, store, old_counts, Counter())
-    _update_doc_tables(spark, store, doc_id, None, None)
+    lineage = _incr_lineage(store)
+    bid = f"incr-g{gen}"
+    _step(lineage, bid, "tombstones",
+          lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]))
+    _step(lineage, bid, "terms",
+          lambda: _update_terms(spark, store, old_counts, Counter()))
+    _step(lineage, bid, "docs",
+          lambda: _update_doc_tables(spark, store, doc_id, None, None))
     old_dl = sum(old_counts.values())
     meta["gen"] = gen
     meta["n_docs"] -= (1 if old_dl > 0 else 0)
@@ -288,21 +339,16 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
     new_posts = postings_flat(prep).persist()
     old_posts = postings_flat(old_docs).persist()
 
-    # --- 1. tombstones for every pre-existing doc
+    lineage = _incr_lineage(store)
+    bid = f"incr-g{gen}"
+
+    # --- 1. tombstones for every pre-existing doc. The doc-id list is a
+    # batch-sized driver collect (one long per doc in THIS batch — does
+    # not scale with corpus/bucket size; it also feeds the meta deltas).
     olds = [r["doc_id"] for r in old_docs.select("doc_id").collect()]
-    if olds:
-        tomb_path = os.path.join(store.path, "tombstones")
-        prev = store.tombstones(spark)
-        add = spark.createDataFrame([(d, gen - 1) for d in olds],
-                                    "doc_id long, dead_gen int")
-        if prev is not None:
-            merged = (prev.unionByName(add).groupBy("doc_id")
-                      .agg(F.max("dead_gen").alias("dead_gen")))
-            merged = spark.createDataFrame(merged.collect(),
-                                           "doc_id long, dead_gen int")
-        else:
-            merged = add
-        merged.coalesce(1).write.mode("overwrite").parquet(tomb_path)
+    _step(lineage, bid, "tombstones",
+          lambda: _write_tombstones(spark, store,
+                                    [(d, gen - 1) for d in olds]))
 
     # --- 2. append new postings as gen blocks (same encode pipeline)
     from .index_store import BLOCKS_SCHEMA, _encode_partition
@@ -315,8 +361,9 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
            .withColumn("gen", F.lit(gen))
            .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")),
                                         F.lit(store.n_buckets)).cast("int")))
-    (enc.write.mode("append").partitionBy("bucket")
-     .parquet(os.path.join(store.path, "blocks")))
+    _step(lineage, bid, "blocks",
+          lambda: (enc.write.mode("append").partitionBy("bucket")
+                   .parquet(os.path.join(store.path, "blocks"))))
 
     # Collect meta deltas NOW — a later dynamic overwrite of docs/
     # invalidates the cached old_docs/old_posts plans (Spark refreshes
@@ -346,9 +393,9 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
                .select(
                    "term",
                    (F.coalesce("df", F.lit(0)) + F.coalesce("ndf", F.lit(0))
-                    - F.coalesce("odf", F.lit(0))).alias("df"),
+                    - F.coalesce("odf", F.lit(0))).cast("long").alias("df"),
                    (F.coalesce("cf", F.lit(0)) + F.coalesce("ncf", F.lit(0))
-                    - F.coalesce("ocf", F.lit(0))).alias("cf"),
+                    - F.coalesce("ocf", F.lit(0))).cast("long").alias("cf"),
                    F.greatest(F.coalesce("max_tf", F.lit(0)),
                               F.coalesce("nmax", F.lit(0)))
                    .cast("int").alias("max_tf"))
@@ -356,12 +403,15 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
                .withColumn("bucket",
                            F.pmod(F.xxhash64("term"),
                                   F.lit(store.n_buckets)).cast("int")))
-        rows = upd.collect()
-        out = spark.createDataFrame(
-            rows, "term string, df long, cf long, max_tf int, bucket int")
-        (out.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket").parquet(os.path.join(store.path, "terms")))
+        # merged buckets materialize executor-side (localCheckpoint), not
+        # through the driver: the old path collected ~dictionary/32 rows
+        # per touched bucket — the round-1 scale-killer.
+        out = upd.localCheckpoint()
+        _step(lineage, bid, "terms",
+              lambda: (out.write.mode("overwrite")
+                       .option("partitionOverwriteMode", "dynamic")
+                       .partitionBy("bucket")
+                       .parquet(os.path.join(store.path, "terms"))))
 
     # --- 4. docs + doclens (affected doc buckets)
     doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
@@ -372,26 +422,31 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
                 new_rows.select("doc_bucket").distinct().collect()]
     keep = (store.docs(spark).filter(F.col("doc_bucket").isin(dbuckets))
             .join(F.broadcast(batch_ids), "doc_id", "left_anti"))
-    merged_docs = keep.select(new_rows.columns).unionByName(new_rows)
-    merged_rows = merged_docs.collect()
-    out_docs = spark.createDataFrame(
-        merged_rows,
-        "doc_id long, url string, url_norm string, host string, "
-        "path string, text string, lang string, doc_bucket int")
-    (out_docs.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("doc_bucket").parquet(os.path.join(store.path, "docs")))
+    # localCheckpoint (no driver collect): full doc rows INCLUDING text —
+    # the round-1 path shipped ~1/n_buckets of the corpus text through
+    # the driver per touched bucket; now the merge stays executor-side.
+    out_docs = (keep.select(new_rows.columns).unionByName(new_rows)
+                .localCheckpoint())
+    _step(lineage, bid, "docs",
+          lambda: (out_docs.write.mode("overwrite")
+                   .option("partitionOverwriteMode", "dynamic")
+                   .partitionBy("doc_bucket")
+                   .parquet(os.path.join(store.path, "docs"))))
 
     new_dls = (spark.createDataFrame(new_dl_rows, "doc_id long, dl int")
                .withColumn("doc_bucket", doc_bucket))
     keep_dl = (store.doclens(spark).filter(F.col("doc_bucket").isin(dbuckets))
                .join(F.broadcast(batch_ids), "doc_id", "left_anti"))
-    merged_dl = spark.createDataFrame(
-        keep_dl.select("doc_id", "dl", "doc_bucket").unionByName(new_dls)
-        .collect(), "doc_id long, dl int, doc_bucket int")
-    (merged_dl.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("doc_bucket").parquet(os.path.join(store.path, "doclens")))
+    merged_dl = (keep_dl
+                 .select("doc_id", F.col("dl").cast("int").alias("dl"),
+                         F.col("doc_bucket").cast("int").alias("doc_bucket"))
+                 .unionByName(new_dls)
+                 .localCheckpoint())
+    _step(lineage, bid, "doclens",
+          lambda: (merged_dl.write.mode("overwrite")
+                   .option("partitionOverwriteMode", "dynamic")
+                   .partitionBy("doc_bucket")
+                   .parquet(os.path.join(store.path, "doclens"))))
 
     # --- 5. meta (exact adjustments from the pre-overwrite collections)
     olds_set = set(olds)
@@ -412,6 +467,34 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
         df_.unpersist()
     return {"batch_docs": n_batch, "gen": gen,
             "reindexed": len(olds), "new": n_batch - len(olds)}
+
+
+def check_consistency(spark: SparkSession, store: IndexStore) -> dict:
+    """Detect dictionary/meta drift after a crash mid-generation: df/cf
+    recomputed from LIVE postings (blocks minus tombstones) must equal
+    the terms table, and n_docs/sum_dl must match meta. Returns
+    {"consistent": bool, "term_mismatches": n, "meta_mismatches": [...]};
+    repair = compact(). Cost: one pass over the blocks (the same work as
+    one full-index scan) — an offline audit, not a query-path check."""
+    from .wand import live_postings
+    live = live_postings(spark, store, store.blocks(spark))
+    got = (live.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")))
+    terms = store.terms(spark).select("term", "df", "cf")
+    bad = (got.join(terms, "term", "full")
+           .filter((F.coalesce(got["df"], F.lit(0)) != F.coalesce(terms["df"], F.lit(0)))
+                   | (F.coalesce(got["cf"], F.lit(0)) != F.coalesce(terms["cf"], F.lit(0))))
+           .count())
+    agg = live.agg(F.countDistinct("doc_id").alias("n"),
+                   F.sum("tf").alias("s")).first()
+    meta = store.meta()
+    meta_bad = []
+    if int(agg["n"] or 0) != int(meta.get("n_docs", 0)):
+        meta_bad.append(("n_docs", int(agg["n"] or 0), meta.get("n_docs")))
+    if int(agg["s"] or 0) != int(meta.get("sum_dl", 0)):
+        meta_bad.append(("sum_dl", int(agg["s"] or 0), meta.get("sum_dl")))
+    return {"consistent": bad == 0 and not meta_bad,
+            "term_mismatches": bad, "meta_mismatches": meta_bad}
 
 
 def compact(spark: SparkSession, store: IndexStore,

@@ -114,6 +114,52 @@ def test_add_brand_new_and_delete(spark, store):
     assert "xylophone" not in _terms_map(spark, store)
 
 
+def test_consistency_and_lineage(spark, store):
+    """After a chain of incremental ops the dictionaries/meta must match
+    a recompute from live blocks, and every mutation step must have a
+    DONE lineage row (crash-window auditability)."""
+    import json
+    import os
+
+    from search_engine_skillbox_spark.operators.incremental import (
+        check_consistency)
+    reindex_page(spark, store, NEW_PAGE)
+    reindex_page(spark, store, BRAND_NEW)
+    delete_page(spark, store, BRAND_NEW["url"])
+    rep = check_consistency(spark, store)
+    assert rep["consistent"], rep
+    with open(os.path.join(store.path, "lineage.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    incr = [r for r in rows if r["build_id"].startswith("incr-g")]
+    assert {r["build_id"] for r in incr} == {"incr-g1", "incr-g2", "incr-g3"}
+    by_gen_done = {}
+    for r in incr:
+        if r["status"] == "DONE":
+            by_gen_done.setdefault(r["build_id"], set()).add(r["partition_id"])
+    assert by_gen_done["incr-g1"] == {"tombstones", "blocks", "terms", "docs"}
+    assert by_gen_done["incr-g2"] == {"blocks", "terms", "docs"}  # brand new
+    assert by_gen_done["incr-g3"] == {"tombstones", "terms", "docs"}  # delete
+    assert not [r for r in incr if r["status"] == "FAILED"]
+
+
+def test_no_scaling_collects():
+    """Grep-auditable VERDICT done-criterion: the bucket-merge paths
+    (terms/docs/doclens/tombstones rewrites) contain NO collect() — a
+    collect there scales with bucket/dictionary size, not batch size."""
+    import inspect
+
+    from search_engine_skillbox_spark.operators import incremental as inc
+    for fn in (inc._update_terms, inc._update_doc_tables,
+               inc._write_tombstones):
+        assert ".collect()" not in inspect.getsource(fn), fn.__name__
+    # reindex_batch: merges go through localCheckpoint, never the driver
+    src = inspect.getsource(inc.reindex_batch)
+    assert "localCheckpoint" in src
+    for banned in ("upd.collect", "merged_docs.collect", "merged.collect",
+                   ".unionByName(new_rows)\n        .collect"):
+        assert banned not in src, banned
+
+
 def test_compact_preserves_state(spark, store):
     reindex_page(spark, store, NEW_PAGE)
     reindex_page(spark, store, BRAND_NEW)
