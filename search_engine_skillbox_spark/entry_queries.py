@@ -102,8 +102,7 @@ WITH aug AS (
   UNION ALL
   SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
 ),
-h AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
-      FROM aug)
+h AS (SELECT doc_id, md5(text) AS text_hash FROM aug)
 SELECT text_hash, min(doc_id) AS keeper, count(*) AS n_dups
 FROM h GROUP BY text_hash HAVING count(*) > 1
 """
@@ -112,17 +111,28 @@ FROM h GROUP BY text_hash HAVING count(*) > 1
 # dedup: n-gram jaccard
 # ---------------------------------------------------------------------------
 
+MAX_SHINGLE_DF = 1000   # boilerplate-shingle cap (way above natural df
+MAX_LSH_BUCKET = 1000   # at gate scale — semantics-neutral there, but
+                        # expressed in BOTH engine and oracle)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.ngram_jaccard_pairs(_aug_docs(_docs(spark, sf_dir)),
-                                k=3, threshold=0.5)
+                                k=3, threshold=0.5,
+                                max_shingle_df=MAX_SHINGLE_DF)
     return out.select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
 
 
 _SQL_DEDUP_NGRAM = f"""WITH {_SQL_TOK_AUG},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT sh.* FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {MAX_SHINGLE_DF}) ok USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 jac AS (
@@ -142,7 +152,8 @@ FROM jac WHERE jaccard >= 0.5
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.minhash_lsh_pairs(_aug_docs(_docs(spark, sf_dir)),
-                              m=NMH, bands=BANDS, k=3, threshold=0.5)
+                              m=NMH, bands=BANDS, k=3, threshold=0.5,
+                              max_bucket=MAX_LSH_BUCKET)
     return out.select("doc1", "doc2", F.round("est_sim", 6).alias("est_sim"))
 
 
@@ -162,9 +173,14 @@ sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
 bandrows AS (
 {bandrows}
 ),
+bandcap AS (
+  SELECT b.* FROM bandrows b
+  JOIN (SELECT band, key FROM bandrows GROUP BY band, key
+        HAVING count(*) <= {MAX_LSH_BUCKET}) ok USING (band, key)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM bandrows a JOIN bandrows b
+  FROM bandcap a JOIN bandcap b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
 est AS (
@@ -264,6 +280,44 @@ p AS (
 SELECT id1, id2, cos FROM p WHERE cos >= 0.95
 """
 
+def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding dedup: pairs blocked by IVF cell
+    (similarity.ivf_neardup_pairs) — only same-cell pairs are compared,
+    never the all-pairs self-join. The oracle reproduces the blocking
+    (join on label), so the gate certifies the blocked formulation."""
+    emb = _emb(spark, sf_dir)
+    aug = (emb.select("vec_id", "label", "embedding")
+           .unionByName(emb.filter(F.col("vec_id") < 20)
+                        .select((F.col("vec_id") + 10000).alias("vec_id"),
+                                "label", "embedding")))
+    aug = aug.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    out = SIM.ivf_neardup_pairs(aug, threshold=0.9499990)
+    out = out.select("id1", "id2", F.round("cos", 6).alias("cos"))
+    return out.filter(F.col("cos") >= 0.95)
+
+
+_SQL_DEDUP_EMB_BLOCKED = """
+WITH aug AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id < 20
+),
+d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM aug),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(
+           list_sum(list_transform(range(1, 65),
+                                   i -> a.v[i] * b.v[i]))::DOUBLE
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x))::DOUBLE)
+              * sqrt(list_sum(list_transform(b.v, x -> x * x))::DOUBLE)), 6)
+         AS cos
+  FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, cos FROM p WHERE cos >= 0.95
+"""
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -297,9 +351,16 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-IVF through the PERSISTED index: centroids + cell-partitioned
+    vectors are built once (build_ivf) and the query reads them back —
+    the query plan scans the probed cell partitions only, with no
+    posexplode over the embedding table."""
+    import tempfile
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
-    return SIM.ivf_topk(emb, _qvec(spark, sf_dir), k=10, nprobe=2)
+    path = tempfile.mkdtemp(prefix="entry_ivf_")
+    SIM.build_ivf(emb, path)
+    return SIM.ivf_query(spark, path, _qvec(spark, sf_dir), k=10, nprobe=2)
 
 
 _SQL_ANN_IVF = """
@@ -543,6 +604,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding,
+    "dedup_embedding_blocked": q_dedup_embedding_blocked,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_metrics": q_text_metrics,
@@ -557,6 +619,7 @@ ORACLES = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": _SQL_DEDUP_EMB,
+    "dedup_embedding_blocked": _SQL_DEDUP_EMB_BLOCKED,
     "ann_cosine_topk": _SQL_ANN_BRUTE,
     "ann_ivf_topk": _SQL_ANN_IVF,
     "text_metrics": _text_metrics_sql(),

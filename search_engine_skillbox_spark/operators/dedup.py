@@ -7,24 +7,31 @@ md5-derived hashing (functions/hashing.py) so a DuckDB oracle can
 reproduce them bit-for-bit.
 
 Scale notes:
-  * exact: one groupBy on a 60-bit content hash — map-side combine,
-    min(doc_id) keeper; no text shuffled (hash only).
+  * exact: one groupBy on the FULL 128-bit md5 of the content —
+    map-side combine, min(doc_id) keeper; no text shuffled (hash
+    only). 128 bits because a 60-bit key yields ~10⁵ birthday
+    false-merges at 10¹² docs; md5 collisions at 10¹² are ~10⁻¹⁴.
   * shingles: explode(k-gram) is linear in corpus tokens; distinct
-    per doc before any join.
+    per doc before any join; super-frequent (boilerplate) shingles
+    are droppable via max_shingle_df — the skew cap production
+    pipelines apply; drops are counted and logged, never silent.
   * MinHash+LSH: m permutation-free hashes (a_i·h+b_i mod p) folded
     into b bands; candidate pairs only from shared band buckets —
     the all-pairs O(n²) never materializes. Band buckets with huge
-    membership (boilerplate) explode quadratically → cap via
-    max_bucket (documented, logged) the way production pipelines do.
+    membership (boilerplate) explode quadratically → max_bucket
+    drops them (logged).
   * SimHash: 64 weighted-bit sums per doc via one explode+groupBy;
     pairs by banded equality on 16-bit chunks (exact for hamming ≤ 3
-    by pigeonhole over 4 chunks), verified with bit_count(xor).
+    by pigeonhole over 4 chunks), verified with bit_count(xor);
+    same max_bucket guard on chunk buckets.
   * embedding cosine: block by LSH-free label/IVF bucketing in
     similarity.py; the sandbox-size all-pairs variant here keeps the
     oracle simple.
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,13 +41,16 @@ from ..functions.textprep import tokens
 
 MERSENNE31 = (1 << 31) - 1
 
+log = logging.getLogger(__name__)
+
 
 def exact_duplicates(docs: DataFrame, doc_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
-    """(text_hash, keeper, n_dups): groups of byte-identical texts.
-    keeper = min doc_id (the row a dedup pass would retain)."""
+    """(text_hash, keeper, n_dups): groups of byte-identical texts,
+    keyed by the full 128-bit md5 (hex). keeper = min doc_id (the row
+    a dedup pass would retain)."""
     return (docs.select(F.col(doc_col).alias("doc_id"),
-                        h60(F.col(text_col)).alias("text_hash"))
+                        F.md5(F.col(text_col)).alias("text_hash"))
             .groupBy("text_hash")
             .agg(F.min("doc_id").alias("keeper"),
                  F.count(F.lit(1)).alias("n_dups"))
@@ -52,10 +62,24 @@ def dedup_keep_first(docs: DataFrame, doc_col: str = "doc_id",
     """Exact dedup: retain min-doc_id row per distinct text (keeps all
     original columns; one hash shuffle, text itself never shuffled)."""
     keep = (docs.select(F.col(doc_col).alias("__id"),
-                        h60(F.col(text_col)).alias("__h"))
+                        F.md5(F.col(text_col)).alias("__h"))
             .groupBy("__h").agg(F.min("__id").alias("__id")))
     return docs.join(keep.select("__id"),
                      docs[doc_col] == F.col("__id"), "left_semi")
+
+
+def _drop_big_buckets(rows: DataFrame, keys: list[str], max_bucket: int,
+                      what: str) -> DataFrame:
+    """Remove rows of buckets with more than max_bucket members — the
+    boilerplate-skew guard (a bucket of b members emits O(b²) candidate
+    pairs). The dropped-bucket count is logged, never silent."""
+    sizes = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    over = sizes.filter(F.col("__n") > max_bucket)
+    n_over = over.count()
+    if n_over:
+        log.warning("dedup: dropping %d %s bucket(s) larger than %d members",
+                    n_over, what, max_bucket)
+    return rows.join(over.select(*keys), keys, "left_anti")
 
 
 def shingles(docs: DataFrame, k: int = 3, doc_col: str = "doc_id",
@@ -80,16 +104,21 @@ def shingles(docs: DataFrame, k: int = 3, doc_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
-                        doc_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        doc_col: str = "doc_id", text_col: str = "text",
+                        max_shingle_df: int | None = None) -> DataFrame:
     """(doc1, doc2, jaccard) for pairs with k-shingle Jaccard ≥ threshold.
 
     Join on shingle → co-occurrence counts → |A∩B| / (|A|+|B|−|A∩B|).
     The shingle join is the scalable formulation (pairs only materialize
-    for docs sharing ≥1 shingle); super-frequent shingles are the skew
-    risk at 100 TB — cap them like stopwords (df filter) upstream.
+    for docs sharing ≥1 shingle). max_shingle_df drops super-frequent
+    (boilerplate) shingles BEFORE sizes and the join — a shingle shared
+    by b docs emits O(b²) pair rows, the 100 TB skew killer. Jaccard is
+    then computed over the capped shingle universe on both engine and
+    oracle sides; drops are logged.
     """
     sh = shingles(docs, k, doc_col, text_col)
+    if max_shingle_df is not None:
+        sh = _drop_big_buckets(sh, ["shingle"], max_shingle_df, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -128,13 +157,16 @@ def minhash_signatures(docs: DataFrame, m: int = 16, k: int = 3,
 
 def minhash_lsh_pairs(docs: DataFrame, m: int = 16, bands: int = 4,
                       k: int = 3, threshold: float = 0.5,
-                      doc_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      doc_col: str = "doc_id", text_col: str = "text",
+                      max_bucket: int | None = None) -> DataFrame:
     """(doc1, doc2, est_sim): candidate near-dup pairs from LSH banding.
 
     m hashes folded into `bands` bands of m/bands rows; docs sharing any
     full band collide. est_sim = fraction of matching minhash components
     (unbiased Jaccard estimate); pairs kept at est_sim ≥ threshold.
+    max_bucket drops band buckets with more members (boilerplate
+    corpora put thousands of docs in one bucket → O(b²) candidates);
+    drops are logged, never silent.
     """
     assert m % bands == 0
     r = m // bands
@@ -152,6 +184,9 @@ def minhash_lsh_pairs(docs: DataFrame, m: int = 16, bands: int = 4,
     band_rows = band_rows.select("doc_id", *mh_cols,
                                  F.col("bk.band").alias("band"),
                                  F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        band_rows = _drop_big_buckets(band_rows, ["band", "key"],
+                                      max_bucket, "LSH band")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -192,13 +227,16 @@ def simhash(docs: DataFrame, bits: int = 60, doc_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,
                   doc_col: str = "doc_id", text_col: str = "text",
-                  chunks: int = 4) -> DataFrame:
+                  chunks: int = 4,
+                  max_bucket: int | None = None) -> DataFrame:
     """(doc1, doc2, hamming): pairs within hamming distance.
 
     Exact banding: split the signature into `chunks` equal bit ranges —
     any pair with hamming ≤ chunks−1 shares at least one identical chunk
     (pigeonhole), so candidates come from chunk-equality joins, never
-    all-pairs. Verified with bit_count(xor)."""
+    all-pairs. Verified with bit_count(xor). max_bucket drops oversized
+    chunk buckets (boilerplate skew; logged) — exactness then holds for
+    pairs outside the dropped buckets."""
     assert bits % chunks == 0
     w = bits // chunks
     sig = simhash(docs, bits, doc_col, text_col)
@@ -213,6 +251,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,
     parts = parts.select("doc_id", "simhash",
                          F.col("ck.chunk").alias("chunk"),
                          F.col("ck.key").alias("key"))
+    if max_bucket is not None:
+        parts = _drop_big_buckets(parts, ["chunk", "key"],
+                                  max_bucket, "simhash chunk")
     a, b = parts.alias("a"), parts.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.key") == F.col("b.key"))

@@ -63,16 +63,78 @@ def ivf_centroids(emb: DataFrame, cell_col: str = "label",
                     .alias("centroid")))
 
 
+def build_ivf(emb: DataFrame, path: str, cell_col: str = "label",
+              vec_col: str = "embedding") -> None:
+    """BUILD-time IVF artifacts (run once, not per query):
+
+      <path>/centroids   (cell, centroid) — one row per coarse cell
+      <path>/vectors     the embedding table partitioned BY CELL
+
+    At 10^12 vectors the cell is the partition key: a query probing
+    nprobe cells reads nprobe partition directories (parquet partition
+    pruning), never the full corpus — and centroids are never
+    recomputed at query time (the round-1 ivf_topk recomputed them by
+    posexploding the whole table per query, defeating IVF)."""
+    cents = ivf_centroids(emb, cell_col, vec_col)
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    (emb.withColumn("cell", F.col(cell_col))
+     .repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(path + "/vectors"))
+
+
+def ivf_query(spark, path: str, query_vec: list[float], k: int = 10,
+              nprobe: int = 2, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cos): query a persisted IVF index (build_ivf output).
+
+    Probe selection runs DRIVER-side over the tiny centroids table
+    (n_cells rows) with left-to-right accumulation — bit-identical to
+    the F.aggregate fold and DuckDB's list_sum, so probe choice matches
+    the oracle exactly. The vectors scan is partition-pruned to the
+    probed cells."""
+    import math
+    cents = spark.read.parquet(path + "/centroids").collect()
+
+    def cos(c):
+        dot = 0.0
+        n1 = 0.0
+        n2 = 0.0
+        for a, b in zip(c, query_vec):
+            dot += float(a) * float(b)
+            n1 += float(a) * float(a)
+            n2 += float(b) * float(b)
+        return dot / (math.sqrt(n1) * math.sqrt(n2))
+
+    ranked = sorted(((cos(r["centroid"]), r["cell"]) for r in cents),
+                    key=lambda t: (-t[0], t[1]))
+    probed = [cell for _, cell in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (spark.read.parquet(path + "/vectors")
+            .filter(F.col("cell").isin(probed)))  # partition pruning
+    out = cand.select(
+        F.col(id_col).alias("vec_id"),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)))
+        .alias("cos"))
+    return (out.select("vec_id", F.round("cos", 6).alias("cos"))
+            .orderBy(F.desc("cos"), F.asc("vec_id")).limit(k))
+
+
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              nprobe: int = 2, cell_col: str = "label",
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """(vec_id, cos): approximate top-k — probe the nprobe cells whose
     centroids are closest (by cosine) to the query, brute-force inside.
 
-    Deterministic given the cell assignment; recall measured in tests
-    against cosine_topk."""
+    `centroids`: pass the persisted (cell, centroid) table (build_ivf)
+    — the scale path. When None, centroids are computed inline (only
+    acceptable for ad-hoc exploration; the plan then posexplodes the
+    full table). Deterministic given the cell assignment; recall
+    measured in tests against cosine_topk."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cents = ivf_centroids(emb, cell_col, vec_col)
+    cents = (centroids if centroids is not None
+             else ivf_centroids(emb, cell_col, vec_col))
     probed = (cents.select(
         "cell",
         (_dot(F.col("centroid"), q)
