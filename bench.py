@@ -71,7 +71,6 @@ def main() -> None:
 
     with timed("build_index_sf"):
         prepared = prepare_pages(raw).persist()
-        prepared.count()
         store_sf = IndexStore(os.path.join(tmp, "sf"), n_buckets=16,
                               salt_threshold=100_000)
         store_sf.build(spark, prepared, checkpoint_groups=1)
@@ -83,10 +82,9 @@ def main() -> None:
     raw_big = spark.read.parquet(corpus_path)
     with timed("build_index_synth"):
         prep_big = prepare_pages(raw_big).persist()
-        prep_big.count()
         store_big = IndexStore(os.path.join(tmp, "big"), n_buckets=32,
                                salt_threshold=50_000)
-        store_big.build(spark, prep_big, checkpoint_groups=1)
+        store_big.build(spark, prep_big, checkpoint_groups=4)
     extra["synth_docs"] = SYNTH_DOCS
     extra["synth_docs_per_sec"] = round(SYNTH_DOCS / timings["build_index_synth"], 1)
 

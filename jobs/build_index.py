@@ -55,11 +55,14 @@ def main() -> None:
 
     t0 = time.time()
     prepared = prepare_pages(raw, assume_unique=args.assume_unique).persist()
-    n_pages = prepared.count()
     store = IndexStore(args.output, n_buckets=args.buckets,
                        salt_threshold=args.salt_threshold)
+    # no pre-count: build's single materialization job fills the prepared
+    # cache as a side effect (extract+tokenize+agg in ONE corpus pass);
+    # the page count afterwards reads the cache only
     meta = store.build(spark, prepared, build_id=args.build_id,
                        checkpoint_groups=args.checkpoint_groups)
+    n_pages = prepared.count()
     dt = time.time() - t0
 
     print(json.dumps({

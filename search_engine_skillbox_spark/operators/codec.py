@@ -71,14 +71,35 @@ def varint_decode(b: bytes | bytearray | memoryview) -> np.ndarray:
     return vals
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray):
+from .score import B_DEFAULT, K1_DEFAULT  # single source for BM25 params
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
+                    dls: np.ndarray | None = None,
+                    avgdl: float | None = None):
     """Split one (term[, salt]) posting run into encoded blocks.
 
     doc_ids must be sorted ascending (sortWithinPartitions guarantees it).
     doc_ids are signed int64 (xxhash64 output) — zigzag the FIRST value,
     plain deltas after (sorted ⇒ deltas ≥ 0).
 
-    Yields dicts: block_id, n, max_tf, first_doc, last_doc, docs, tfs.
+    dls: per-posting document length (the doc's dl repeated for each of
+    its terms). Carrying dl IN the posting block makes BM25 scoring
+    join-free at query time — at 10^12 docs a per-query doclens join
+    shuffles a trillion-row table; a ~1-byte varint per posting does not
+    (Lucene stores per-doc norms with the index for the same reason).
+
+    avgdl: average doc length at encode time — the basis for the stored
+    per-block `max_imp` = max over postings of the BM25 tf-norm
+    tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)). max_tf alone cannot prune BM25
+    blocks when tf correlates with dl (a hash-ordered block of random
+    docs then always contains a near-max tf but its IMPACT varies);
+    max_imp is the exact per-block score bound (up to idf), pushable as
+    a plain parquet comparison. The basis is recorded store-wide
+    (meta min_imp_basis) so drifted avgdl stays a sound bound.
+
+    Yields dicts: block_id, n, max_tf, first_doc, last_doc, docs, tfs,
+    dls, max_imp (dls/max_imp None when dls not provided).
     """
     doc_ids = np.asarray(doc_ids, np.int64)
     tfs = np.asarray(tfs, np.int64)
@@ -90,6 +111,18 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray):
         first = int(d[0])
         deltas[0] = np.uint64((first << 1) ^ (first >> 63)) & np.uint64(0xFFFFFFFFFFFFFFFF)
         deltas[1:] = np.diff(d).astype(np.uint64)
+        dls_b = None
+        max_imp = None
+        if dls is not None:
+            dl = np.asarray(dls[off:off + BLOCK_SIZE], np.int64)
+            dls_b = varint_encode(dl.astype(np.uint64))
+            if avgdl and avgdl > 0:
+                tf = t.astype(np.float64)
+                norm = (tf * (K1_DEFAULT + 1.0)
+                        / (tf + K1_DEFAULT
+                           * (1.0 - B_DEFAULT
+                              + B_DEFAULT * dl.astype(np.float64) / avgdl)))
+                max_imp = float(norm.max())
         yield {
             "block_id": bid,
             "n": int(d.size),
@@ -98,11 +131,15 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray):
             "last_doc": int(d[-1]),
             "docs": varint_encode(deltas),
             "tfs": varint_encode(t.astype(np.uint64)),
+            "dls": dls_b,
+            "max_imp": max_imp,
         }
 
 
-def decode_block(docs_bytes: bytes, tfs_bytes: bytes):
-    """→ (doc_ids int64 sorted, tfs int64)."""
+def decode_block(docs_bytes: bytes, tfs_bytes: bytes,
+                 dls_bytes: bytes | None = None):
+    """→ (doc_ids int64 sorted, tfs int64) or, with dls_bytes,
+    (doc_ids, tfs, dls)."""
     deltas = varint_decode(docs_bytes)
     z = deltas[0]
     with np.errstate(over="ignore"):  # intentional modular two's-complement
@@ -111,4 +148,6 @@ def decode_block(docs_bytes: bytes, tfs_bytes: bytes):
     d[0] = first
     doc_ids = np.cumsum(d)
     tfs = varint_decode(tfs_bytes).astype(np.int64)
-    return doc_ids, tfs
+    if dls_bytes is None:
+        return doc_ids, tfs
+    return doc_ids, tfs, varint_decode(dls_bytes).astype(np.int64)

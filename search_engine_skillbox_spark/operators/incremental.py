@@ -91,12 +91,15 @@ def _doc_row(spark: SparkSession, store: IndexStore, doc_id: int):
 
 
 def _append_blocks(spark: SparkSession, store: IndexStore,
-                   doc_id: int, counts: Counter, gen: int) -> None:
+                   doc_id: int, counts: Counter, gen: int,
+                   avgdl: float = 0.0) -> None:
     import numpy as np
+    dl = sum(counts.values())  # per-posting dl = the doc's length
     rows = []
     for term, tf in counts.items():
         for blk in encode_postings(np.array([doc_id], np.int64),
-                                   np.array([tf], np.int64)):
+                                   np.array([tf], np.int64),
+                                   np.array([dl], np.int64), avgdl):
             rows.append(Row(term=term, salt=0, gen=gen,
                             bucket=term_bucket(term, store.n_buckets),
                             **blk))
@@ -107,7 +110,7 @@ def _append_blocks(spark: SparkSession, store: IndexStore,
         F.col("block_id").cast("int").alias("block_id"),
         F.col("n").cast("int").alias("n"),
         F.col("max_tf").cast("int").alias("max_tf"),
-        "first_doc", "last_doc", "docs", "tfs",
+        "first_doc", "last_doc", "docs", "tfs", "dls",
         F.col("gen").cast("int").alias("gen"),
         F.col("bucket").cast("int").alias("bucket"))
     (df.coalesce(1).write.mode("append").partitionBy("bucket")
@@ -245,7 +248,8 @@ def reindex_page(spark: SparkSession, store: IndexStore,
               lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]))
     # 2. append new postings as generation `gen`
     _step(lineage, bid, "blocks",
-          lambda: _append_blocks(spark, store, doc_id, new_counts, gen))
+          lambda: _append_blocks(spark, store, doc_id, new_counts, gen,
+                                 float(meta.get("avgdl", 0.0))))
     # 3. exact dictionary deltas
     _step(lineage, bid, "terms",
           lambda: _update_terms(spark, store, old_counts, new_counts))
@@ -260,6 +264,11 @@ def reindex_page(spark: SparkSession, store: IndexStore,
     # 5. meta: n_docs / avgdl / gen
     old_dl = sum(old_counts.values())
     meta["gen"] = gen
+    # the appended blocks' max_imp used the PRE-update avgdl as basis
+    basis = float(meta.get("avgdl", 0.0))
+    if basis > 0:
+        meta["min_imp_basis"] = min(
+            float(meta.get("min_imp_basis", basis)), basis)
     meta["n_docs"] = meta["n_docs"] - (1 if old_dl > 0 else 0) \
         + (1 if new_dl > 0 else 0)
     meta["sum_dl"] = meta.get("sum_dl", 0) - old_dl + new_dl
@@ -350,14 +359,21 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
           lambda: _write_tombstones(spark, store,
                                     [(d, gen - 1) for d in olds]))
 
-    # --- 2. append new postings as gen blocks (same encode pipeline)
-    from .index_store import BLOCKS_SCHEMA, _encode_partition
+    # --- 2. append new postings as gen blocks (same encode pipeline;
+    # dl joined on so the blocks stay join-free for BM25)
+    from .index_store import BLOCKS_SCHEMA, make_block_encoder
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    batch_dls = new_posts.groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("dl"))
+    # impact basis = CURRENT avgdl; recorded in min_imp_basis so query-
+    # time pruning can correct if store-wide avgdl later drifts upward
+    enc_basis = float(meta.get("avgdl", 0.0))
     enc = (new_posts.withColumn("salt", F.lit(0))
-           .select("term", "salt", "doc_id", "tf")
+           .join(F.broadcast(batch_dls), "doc_id")
+           .select("term", "salt", "doc_id", "tf", "dl")
            .repartition(shuffle_parts, "term", "salt")
            .sortWithinPartitions("term", "salt", "doc_id")
-           .mapInPandas(_encode_partition, BLOCKS_SCHEMA)
+           .mapInPandas(make_block_encoder(enc_basis), BLOCKS_SCHEMA)
            .withColumn("gen", F.lit(gen))
            .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")),
                                         F.lit(store.n_buckets)).cast("int")))
@@ -459,6 +475,9 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
         meta["n_dl"] = meta.get("n_dl", 0) + (1 if n > 0 else 0) - (1 if had else 0)
     meta["avgdl"] = (meta["sum_dl"] / meta["n_dl"]) if meta.get("n_dl") else 0.0
     meta["gen"] = gen
+    if enc_basis > 0:
+        meta["min_imp_basis"] = min(
+            float(meta.get("min_imp_basis", enc_basis)), enc_basis)
     store.write_meta(meta)
 
     n_batch = len(all_ids)

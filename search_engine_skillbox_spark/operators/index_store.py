@@ -43,50 +43,63 @@ from .build import build_index_frames
 from .codec import encode_postings
 
 BLOCKS_SCHEMA = ("term string, salt int, block_id int, n int, max_tf int, "
-                 "first_doc long, last_doc long, docs binary, tfs binary")
+                 "first_doc long, last_doc long, docs binary, tfs binary, "
+                 "dls binary, max_imp double")
 
 
-def _encode_partition(batches):
-    """mapInPandas over (term, salt, doc_id, tf) sorted within partition by
-    (term, salt, doc_id): stream-groups rows (a group may span Arrow
-    batches — carried, never materialized beyond one salt run)."""
-    carry_key: tuple | None = None
-    ids_buf: list[np.ndarray] = []
-    tfs_buf: list[np.ndarray] = []
-    out: list[dict] = []
+def make_block_encoder(avgdl: float | None):
+    """mapInPandas encoder over (term, salt, doc_id, tf, dl) sorted
+    within partition by (term, salt, doc_id): stream-groups rows (a
+    group may span Arrow batches — carried, never materialized beyond
+    one salt run). dl rides along per posting so BM25 queries never
+    join the doclens table; avgdl is the impact basis for the per-block
+    max_imp bound (codec.encode_postings)."""
+    def _encode_partition(batches):
+        carry_key: tuple | None = None
+        ids_buf: list[np.ndarray] = []
+        tfs_buf: list[np.ndarray] = []
+        dls_buf: list[np.ndarray] = []
+        out: list[dict] = []
 
-    def flush():
-        nonlocal ids_buf, tfs_buf
-        if carry_key is None:
-            return
-        ids = np.concatenate(ids_buf)
-        tfs = np.concatenate(tfs_buf)
-        for blk in encode_postings(ids, tfs):
-            out.append({"term": carry_key[0], "salt": int(carry_key[1]), **blk})
-        ids_buf, tfs_buf = [], []
+        def flush():
+            nonlocal ids_buf, tfs_buf, dls_buf
+            if carry_key is None:
+                return
+            ids = np.concatenate(ids_buf)
+            tfs = np.concatenate(tfs_buf)
+            dls = np.concatenate(dls_buf)
+            for blk in encode_postings(ids, tfs, dls, avgdl):
+                out.append({"term": carry_key[0],
+                            "salt": int(carry_key[1]), **blk})
+            ids_buf, tfs_buf, dls_buf = [], [], []
 
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
-            key = (term, salt)
-            if key != carry_key:
-                flush()
-                carry_key = key
-            ids_buf.append(g["doc_id"].to_numpy(np.int64))
-            tfs_buf.append(g["tf"].to_numpy(np.int64))
-        if len(out) >= 1024:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+                key = (term, salt)
+                if key != carry_key:
+                    flush()
+                    carry_key = key
+                ids_buf.append(g["doc_id"].to_numpy(np.int64))
+                tfs_buf.append(g["tf"].to_numpy(np.int64))
+                dls_buf.append(g["dl"].to_numpy(np.int64))
+            if len(out) >= 1024:
+                yield pd.DataFrame(out)
+                out = []
+        flush()
+        if out:
             yield pd.DataFrame(out)
-            out = []
-    flush()
-    if out:
-        yield pd.DataFrame(out)
-    elif carry_key is None:
-        yield pd.DataFrame(
-            {c: pd.Series(dtype=d) for c, d in [
-                ("term", "object"), ("salt", "int32"), ("block_id", "int32"),
-                ("n", "int32"), ("max_tf", "int32"), ("first_doc", "int64"),
-                ("last_doc", "int64"), ("docs", "object"), ("tfs", "object")]})
+        elif carry_key is None:
+            yield pd.DataFrame(
+                {c: pd.Series(dtype=d) for c, d in [
+                    ("term", "object"), ("salt", "int32"),
+                    ("block_id", "int32"), ("n", "int32"),
+                    ("max_tf", "int32"), ("first_doc", "int64"),
+                    ("last_doc", "int64"), ("docs", "object"),
+                    ("tfs", "object"), ("dls", "object"),
+                    ("max_imp", "float64")]})
+    return _encode_partition
 
 
 class IndexStore:
@@ -110,46 +123,67 @@ class IndexStore:
         lineage = Lineage(os.path.join(self.path, "lineage.jsonl"))
         done = lineage.done_partitions(build_id)
 
-        postings, terms, _ = build_index_frames(prepared)
-        postings = postings.persist()
-        terms = terms.persist()
+        postings = build_index_frames(prepared)[0].persist()
+        bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets))
+        # ONE terms aggregation carrying df+cf+max_tf together (round 1
+        # ran a (df,cf) agg plus a separate max_tf agg plus a join — two
+        # extra passes over the postings cache on the critical path).
+        terms_full = (postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").cast("int").alias("max_tf"))
+            .withColumn("bucket", bucket.cast("int"))
+            .persist())
         # Materialize the caches before the dims/blocks threads fork: two
         # lazy threads racing an unmaterialized persist() compute the whole
         # lineage twice (observed as duplicated 128-task stages). ONE job
-        # suffices — computing terms scans postings, so the postings cache
-        # fills as a side effect of the same pass.
-        terms.count()
+        # suffices — computing terms scans postings (which scans prepared),
+        # so all three caches fill in the same pass. Lineage-timed so the
+        # scaling report can decompose the serial tail per phase.
+        t_mat = lineage.start(build_id, "materialize")
+        terms_full.count()
+        lineage.done(build_id, "materialize", t_mat, rows=0, nbytes=0)
         # dl = Σ tf from postings — avoids re-tokenizing the whole corpus;
-        # zero-term docs have no postings and BM25 never weights them
+        # zero-term docs have no postings and BM25 never weights them.
+        # Materialized HERE (before the dims/blocks threads fork): every
+        # block group joins it into the encode input, and concurrent
+        # readers of an unmaterialized persist compute it once each.
         doclens = postings.groupBy("doc_id").agg(
-            F.sum("tf").cast("int").alias("dl"))
-
-        bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets))
+            F.sum("tf").cast("int").alias("dl")).persist()
+        # N / Σdl / avgdl pre-fork: doclens has one row per participating
+        # doc, so this is a doc-count-sized agg that also fills the
+        # doclens cache; avgdl is the impact basis the block encoder
+        # stamps into max_imp (BM25 block pruning).
+        g = doclens.agg(F.sum("dl").alias("s"),
+                        F.count(F.lit(1)).alias("n")).first()
+        sum_dl = int(g["s"] or 0)
+        n_docs_total = int(g["n"] or 0)
+        avgdl_build = (sum_dl / n_docs_total) if n_docs_total else 0.0
+        encoder = make_block_encoder(avgdl_build)
 
         # salted skew handling: few heavy terms → broadcast their salt counts
-        heavy = (terms.filter(F.col("df") > self.salt_threshold)
+        heavy = (terms_full.filter(F.col("df") > self.salt_threshold)
                  .select("term",
                          F.ceil(F.col("df") / self.salt_threshold)
                          .cast("int").alias("n_salt")))
+        # dl joins ONTO the postings here (doc-keyed shuffle join) so the
+        # encoder can store it per posting: one extra exchange at build
+        # buys join-free BM25 at query time (a 10^12-row doclens join per
+        # query otherwise).
         salted = (postings.join(F.broadcast(heavy), "term", "left")
+                  .join(doclens, "doc_id")
                   .withColumn(
                       "salt",
                       F.when(F.col("n_salt").isNull(), F.lit(0)).otherwise(
                           F.pmod(F.xxhash64(F.col("doc_id")),
                                  F.col("n_salt")).cast("int")))
                   .withColumn("bucket", bucket.cast("int"))
-                  .select("term", "salt", "doc_id", "tf", "bucket"))
+                  .select("term", "salt", "doc_id", "tf", "dl", "bucket"))
 
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         per_group = math.ceil(self.n_buckets / checkpoint_groups)
         groups = [list(range(g, min(g + per_group, self.n_buckets)))
                   for g in range(0, self.n_buckets, per_group)]
-
-        # per-term max tf for WAND upper bounds, stored on the terms table
-        max_tf = postings.groupBy("term").agg(
-            F.max("tf").cast("int").alias("max_tf"))
-        terms_full = (terms.join(max_tf, "term")
-                      .withColumn("bucket", bucket.cast("int")))
 
         # Dimension tables + stats run CONCURRENTLY with the block groups
         # (separate output dirs, independent lineage units): a multi-job
@@ -184,18 +218,17 @@ class IndexStore:
                      .write.mode("overwrite").partitionBy("doc_bucket")
                      .parquet(os.path.join(self.path, "docs")))
 
-                def agg_global():
-                    # one pass over postings: Σtf == Σdl and the distinct
-                    # doc count == |docs with ≥1 posting| == n_dl == N
-                    r = postings.agg(
-                        F.sum("tf").alias("s"),
-                        F.countDistinct("doc_id").alias("n")).first()
-                    stats["sum_dl"] = int(r["s"] or 0)
-                    stats["n_docs"] = int(r["n"] or 0)
-
                 def agg_host():
+                    # BROADCAST the (doc_id → host) projection: the join
+                    # then shuffles nothing (round 1 shuffled the full
+                    # postings set — the dims-phase long pole at 4M), and
+                    # the countDistincts partial-dedup map-side to
+                    # |hosts|·|vocab| rows. At 10^12 docs a doc→host map
+                    # no longer broadcasts — carry host through the
+                    # postings shuffle (one extra column) instead.
                     rows = (postings
-                            .join(prepared.select("doc_id", "host"), "doc_id")
+                            .join(F.broadcast(
+                                prepared.select("doc_id", "host")), "doc_id")
                             .groupBy("host")
                             .agg(F.countDistinct("doc_id").alias("nd"),
                                  F.countDistinct("term").alias("nt"))
@@ -204,26 +237,27 @@ class IndexStore:
                     stats["terms_by_host"] = {r["host"]: r["nt"] for r in rows}
 
                 from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(5) as pool:
+                with ThreadPoolExecutor(4) as pool:
                     futs = [pool.submit(f) for f in
-                            (w_terms, w_doclens, w_docs, agg_global, agg_host)]
+                            (w_terms, w_doclens, w_docs, agg_host)]
                     for f in futs:
                         f.result()
 
-                n_docs = stats["n_docs"]
-                sum_dl = stats["sum_dl"]
-                avgdl = (sum_dl / n_docs) if n_docs else 0.0
-                meta = {"n_docs": n_docs,
+                meta = {"n_docs": n_docs_total,
                         "n_docs_by_host": stats["per_host"],
-                        "gen": 0, "sum_dl": sum_dl, "n_dl": n_docs,
+                        "gen": 0, "sum_dl": sum_dl, "n_dl": n_docs_total,
                         "n_terms_by_host": stats["terms_by_host"],
-                        "avgdl": float(avgdl),
+                        "avgdl": float(avgdl_build),
+                        # impact basis floor: max_imp bounds stay sound
+                        # as long as queries correct by min_imp_basis
+                        # (wand block pruning) when avgdl drifts upward
+                        "min_imp_basis": float(avgdl_build),
                         "n_buckets": self.n_buckets,
                         "salt_threshold": self.salt_threshold,
                         "build_id": build_id}
                 with open(os.path.join(self.path, "meta.json"), "w") as f:
                     json.dump(meta, f)
-                lineage.done(build_id, pid, t0, rows=n_docs,
+                lineage.done(build_id, pid, t0, rows=n_docs_total,
                              nbytes=_dir_bytes(self.path))
             except Exception as e:
                 lineage.failed(build_id, pid, t0, str(e))
@@ -233,40 +267,60 @@ class IndexStore:
         dims_pool = _TPE(1)
         dims_fut = dims_pool.submit(run_dims)
 
+        def run_group(gi: int, buckets: list[int]) -> None:
+            pid = f"blocks-g{gi}"
+            if pid in done:
+                return
+            t0 = lineage.start(build_id, pid)
+            try:
+                part = (salted.filter(F.col("bucket").isin(buckets))
+                        .repartition(shuffle_parts, "term", "salt")
+                        .sortWithinPartitions("term", "salt", "doc_id")
+                        .mapInPandas(encoder, BLOCKS_SCHEMA)
+                        .withColumn("gen", F.lit(0))
+                        .withColumn(
+                            "bucket",
+                            F.pmod(F.xxhash64(F.col("term")),
+                                   F.lit(self.n_buckets)).cast("int")))
+                target = os.path.join(self.path, "blocks")
+                # coalesce encoded (small, compressed) rows to one task
+                # per bucket: 32 output files instead of tasks×buckets,
+                # an order less driver-side commit work (A/B'd: wins)
+                (part.repartition(len(buckets), F.col("bucket"))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("bucket").parquet(target))
+                if fail_after_group is not None and gi >= fail_after_group:
+                    raise RuntimeError(
+                        f"synthetic failure after group {gi}")
+                lineage.done(build_id, pid, t0, rows=len(buckets),
+                             nbytes=_dir_bytes(target))
+            except Exception as e:  # mirror FAILED(lastError)
+                lineage.failed(build_id, pid, t0, str(e))
+                raise
+
+        # Groups run CONCURRENTLY (each still an atomic lineage unit over
+        # disjoint bucket partitions): one group's shuffle/encode overlaps
+        # another's write-commit + the dims phase, filling the stage-tail
+        # idle slots that capped N→4N scaling at 0.61 in round 1. A crash
+        # leaves an arbitrary subset of groups DONE — resume (done-skip)
+        # is order-independent, so semantics are unchanged.
         blocks_err: Exception | None = None
         try:
-            for gi, buckets in enumerate(groups):
-                pid = f"blocks-g{gi}"
-                if pid in done:
-                    continue
-                t0 = lineage.start(build_id, pid)
-                try:
-                    part = (salted.filter(F.col("bucket").isin(buckets))
-                            .repartition(shuffle_parts, "term", "salt")
-                            .sortWithinPartitions("term", "salt", "doc_id")
-                            .mapInPandas(_encode_partition, BLOCKS_SCHEMA)
-                            .withColumn("gen", F.lit(0))
-                            .withColumn(
-                                "bucket",
-                                F.pmod(F.xxhash64(F.col("term")),
-                                       F.lit(self.n_buckets)).cast("int")))
-                    target = os.path.join(self.path, "blocks")
-                    # coalesce encoded (small, compressed) rows to one task
-                    # per bucket: 32 output files instead of tasks×buckets,
-                    # an order less driver-side commit work (A/B'd: wins)
-                    (part.repartition(len(buckets), F.col("bucket"))
-                     .write.mode("overwrite")
-                     .option("partitionOverwriteMode", "dynamic")
-                     .partitionBy("bucket").parquet(target))
-                    if fail_after_group is not None and gi >= fail_after_group:
-                        raise RuntimeError(
-                            f"synthetic failure after group {gi}")
-                    lineage.done(build_id, pid, t0, rows=len(buckets),
-                                 nbytes=_dir_bytes(target))
-                except Exception as e:  # mirror FAILED(lastError)
-                    lineage.failed(build_id, pid, t0, str(e))
-                    blocks_err = e
-                    raise
+            if len(groups) == 1:
+                run_group(0, groups[0])
+            else:
+                with _TPE(min(4, len(groups))) as gpool:
+                    futs = {gpool.submit(run_group, gi, b): gi
+                            for gi, b in enumerate(groups)}
+                    for f in futs:
+                        try:
+                            f.result()
+                        except Exception as e:
+                            if blocks_err is None:
+                                blocks_err = e
+            if blocks_err is not None:
+                raise blocks_err
         finally:
             try:
                 dims_fut.result()
@@ -277,7 +331,8 @@ class IndexStore:
             dims_pool.shutdown()
 
         postings.unpersist()
-        terms.unpersist()
+        terms_full.unpersist()
+        doclens.unpersist()
         self.invalidate_reads()
         return self.meta()
 
@@ -314,6 +369,41 @@ class IndexStore:
 
     def invalidate_reads(self) -> None:
         self._read_cache = {}
+        self._terms_row_cache = {}
+        self._block_summary_cache = {}
+
+    def block_summary(self, spark: SparkSession, term: str,
+                      col: str) -> dict:
+        """Memoized per-term block-metadata summary used by the WAND
+        planner: histogram of `col` (max_tf or max_imp → Σn postings,
+        value-descending) plus the term's gen-0 salt count. ONE
+        metadata-only Spark job per (term, bound-column) per store
+        generation — repeat queries plan with zero jobs. The parquet
+        scan projects only small metadata columns (binaries untouched)
+        and is bucket+term pruned. At 10^12 docs a stopword's histogram
+        still collects ≤ |distinct bound values| rows (bound values are
+        small ints / coarse floats), not one row per block."""
+        cache = getattr(self, "_block_summary_cache", None)
+        if cache is None:
+            cache = self._block_summary_cache = {}
+        key = (term, col)
+        if key not in cache:
+            from ..functions.hashing import term_bucket
+            b = term_bucket(term, self.n_buckets)
+            rows = (self.blocks(spark)
+                    .filter(F.col("bucket") == b)
+                    .filter(F.col("term") == term)
+                    .groupBy(col)
+                    .agg(F.sum("n").alias("pn"),
+                         F.max(F.when(F.col("gen") == 0, F.col("salt")))
+                         .alias("ms"))
+                    .collect())
+            hist = sorted(((r[col], int(r["pn"])) for r in rows
+                           if r[col] is not None), key=lambda x: -x[0])
+            ms = max((r["ms"] for r in rows if r["ms"] is not None),
+                     default=0)
+            cache[key] = {"hist": hist, "n_salt0": int(ms) + 1}
+        return cache[key]
 
     def blocks(self, spark: SparkSession) -> DataFrame:
         return self._cached(spark, "blocks")
@@ -340,12 +430,28 @@ class IndexStore:
                 .filter(F.col("term").isin(q_terms)))
 
     def query_terms_rows(self, spark: SparkSession, q_terms: list[str]):
-        """terms-table rows for the query terms, bucket-pruned the same way."""
+        """terms-table rows for the query terms, bucket-pruned the same
+        way. MEMOIZED per term driver-side: repeat queries over the same
+        store skip the dictionary-lookup Spark job entirely (a fixed
+        ~0.2-0.5 s per query at large indexes). Absent terms are cached
+        as misses. Invalidated by incremental writes (invalidate_reads);
+        bounded by distinct queried terms, not dictionary size."""
         from ..functions.hashing import term_bucket
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in q_terms})
-        return (self.terms(spark)
-                .filter(F.col("bucket").isin(buckets))
-                .filter(F.col("term").isin(q_terms)).collect())
+        cache = getattr(self, "_terms_row_cache", None)
+        if cache is None:
+            cache = self._terms_row_cache = {}
+        missing = [t for t in q_terms if t not in cache]
+        if missing:
+            buckets = sorted({term_bucket(t, self.n_buckets)
+                              for t in missing})
+            rows = (self.terms(spark)
+                    .filter(F.col("bucket").isin(buckets))
+                    .filter(F.col("term").isin(missing)).collect())
+            for t in missing:
+                cache[t] = None
+            for r in rows:
+                cache[r["term"]] = r
+        return [cache[t] for t in q_terms if cache[t] is not None]
 
 
 def _dir_bytes(path: str) -> int:

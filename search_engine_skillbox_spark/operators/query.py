@@ -97,12 +97,14 @@ def search(spark: SparkSession, postings: DataFrame, terms: DataFrame,
     if n_docs <= 0:
         return {"result": True, "count": 0, "data": []}
     scores = candidate_scores(postings, terms, n_docs, q_terms, mode,
-                              doclens, avgdl)
+                              doclens, avgdl).persist()
     limit = max(1, limit)
     offset = max(0, offset)
-    # count = total matches (not page size), SearchServiceImpl.java:58
+    # count = total matches (not page size), SearchServiceImpl.java:58;
+    # persist: the top-k and the count share one candidate scan
     page = topk(scores, offset + limit).collect()
     total = scores.count()
+    scores.unpersist()
     if offset > total:
         return {"result": False, "count": 0, "data": []}
     import numpy as np

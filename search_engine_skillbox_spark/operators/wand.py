@@ -42,32 +42,36 @@ from . import score as S
 from .codec import decode_block
 from .index_store import IndexStore
 
-DECODED_SCHEMA = "doc_id long, term string, tf long, gen int"
+DECODED_SCHEMA = "doc_id long, term string, tf long, dl long, gen int"
 
 
 def _decode_blocks(batches):
     for pdf in batches:
         if pdf.empty:
             continue
-        ids_all, tf_all, term_all, gen_all = [], [], [], []
-        for term, docs_b, tfs_b, gen in zip(pdf["term"], pdf["docs"],
-                                            pdf["tfs"], pdf["gen"]):
-            d, t = decode_block(docs_b, tfs_b)
+        ids_all, tf_all, dl_all, term_all, gen_all = [], [], [], [], []
+        for term, docs_b, tfs_b, dls_b, gen in zip(
+                pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"],
+                pdf["gen"]):
+            d, t, dl = decode_block(docs_b, tfs_b, dls_b)
             ids_all.append(d)
             tf_all.append(t)
+            dl_all.append(dl)
             term_all.append(np.repeat(term, d.size))
             gen_all.append(np.full(d.size, gen, np.int32))
         yield pd.DataFrame({
             "doc_id": np.concatenate(ids_all),
             "term": np.concatenate(term_all),
             "tf": np.concatenate(tf_all),
+            "dl": np.concatenate(dl_all),
             "gen": np.concatenate(gen_all),
         })
 
 
 def decoded_postings(blocks: DataFrame) -> DataFrame:
-    """blocks → (doc_id, term, tf, gen) via the Arrow-batched decoder."""
-    return blocks.select("term", "docs", "tfs", "gen").mapInPandas(
+    """blocks → (doc_id, term, tf, dl, gen) via the Arrow-batched
+    decoder; dl comes from the block itself (no doclens join)."""
+    return blocks.select("term", "docs", "tfs", "dls", "gen").mapInPandas(
         _decode_blocks, DECODED_SCHEMA)
 
 
@@ -176,7 +180,6 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         if mode == "compat":
             w = S.tf_weight_compat(F.col("tf"))
         else:
-            c = c.join(store.doclens(spark), "doc_id")
             w = S.tf_weight_bm25(F.col("tf"), F.col("dl"), meta["avgdl"])
         rows = (c.select("doc_id", (w * F.col("idf")).alias("contrib"))
                 .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
@@ -187,19 +190,69 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         cand.unpersist()
 
 
-EXHAUSTIVE_POSTINGS_BUDGET = 5_000_000
+EXHAUSTIVE_POSTINGS_BUDGET = 200_000
+SEED_MIN_POSTINGS = 2_048  # seed decode floor (≥ 4k and a few blocks)
+LOOKUP_MIN_DF = 100_000    # only stopword-scale terms are demoted to lookups
+
+
+def _min_maxtf(mode: str, idf_t: float, max_tf_t: int, lo: float) -> float:
+    """Smallest per-block max_tf whose upper bound can still reach `lo`
+    (block UB inversions; blocks below it are exact skips)."""
+    if lo <= 0:
+        return 0.0
+    if mode == "compat":
+        # UB(b) = max_tf · idf_t
+        if idf_t <= 0:
+            return float(max_tf_t + 1)  # zero contribution — skip all
+        return lo / idf_t
+    # bm25: bound(m) = idf·m·A/(m+C), A=k1+1, C=k1(1−b), monotone in m
+    A = S.K1_DEFAULT + 1.0
+    C = S.K1_DEFAULT * (1.0 - S.B_DEFAULT)
+    if idf_t * A - lo <= 0:
+        return float(max_tf_t + 1)  # sup(bound) < lo: skip all
+    return lo * C / (idf_t * A - lo)
 
 
 def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
               k: int, mode: str = "compat",
-              exhaustive_budget: int = EXHAUSTIVE_POSTINGS_BUDGET) -> DataFrame:
-    """Exact top-k (doc_id, score) using block-max pruning.
+              exhaustive_budget: int = EXHAUSTIVE_POSTINGS_BUDGET,
+              lookup_min_df: int = LOOKUP_MIN_DF) -> DataFrame:
+    """Exact top-k (doc_id, score) using block-max pruning, SEEDED from
+    block metadata:
 
-    Adaptive: when Σ df over the query terms is below exhaustive_budget,
-    the two-pass pruning cannot beat one straight decode+agg job — a
-    single Spark action wins on scheduling overhead (driver-decided from
-    the terms dictionary alone; the plans are result-identical, verified
-    in tests both ways).
+      seed    read the (max_tf, n) HISTOGRAM of t* = argmax UBmax(t)
+              blocks — a metadata-only scan, parquet never touches the
+              binary columns — and pick the smallest cutoff whose blocks
+              hold ≥ max(4k, SEED_MIN) postings. Decode ONLY those.
+              The k-th best seed partial is a valid θ (partials from any
+              SUBSET of blocks underestimate final scores).
+      prune   a block b of term t (INCLUDING t* now) is decoded iff
+              UB(b) + Σ_{t'≠t} UBmax(t') ≥ θ; t*'s already-decoded seed
+              blocks (max_tf ≥ cutoff) are excluded from pass 2.
+              Exactness: for any doc e with true(e) ≥ θ and any block
+              b ∋ e of term t: true(e) ≤ UB(b) + Σ_{t'≠t} UBmax(t'), so
+              b survives; pruned docs stay < θ ≤ k-th best.
+      pass 2  decode survivors, union with seed partials, sum → top-k.
+      lookup  (MaxScore essential lists) stopword-scale terms whose
+              summed UBmax stays below θ never generate candidates at
+              all — their tf is point-looked-up via the blocks'
+              [first_doc, last_doc] ranges for only the candidates that
+              can still win. A mixed rare+stopword query then never
+              decodes the stopword's full posting list (the round-1 p95
+              spike: Σ UBmax of the other terms exceeded θ, so no
+              stopword block was block-prunable — 4M postings decoded
+              per query).
+
+    Round-1 pass 1 also decoded ALL t* blocks — for a single stopword
+    query at 4M docs a full 4M-posting decode per query. The seed
+    histogram costs one tiny metadata job and cuts the decode to the
+    blocks that can actually reach the top-k.
+
+    Adaptive: when Σ df is below exhaustive_budget a single decode+agg
+    job wins on scheduling overhead (plans result-identical, verified in
+    tests both ways). Zero-idf corner: if every present term has
+    UBmax ≤ 0, all scores are 0 → straight exhaustive (the reference's
+    OR semantics still returns those docs).
 
     Returns the same rows as query.topk(candidate_scores(...), k) on the
     flat postings — verified in tests/test_index_store.py.
@@ -222,30 +275,13 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         ubmax = {t: S.upper_bound_bm25(tstats[t][1], idf[t]) for t in present}
 
     sum_df = sum(tstats[t][0] for t in present)
-    small = sum_df <= exhaustive_budget
+    small = sum_df <= exhaustive_budget or max(ubmax.values()) <= 0
 
     qblocks = store.query_blocks(spark, present)
     if not small:
         qblocks = qblocks.persist()
+    p1 = None
     try:
-        if small:
-            idf_small = F.broadcast(spark.createDataFrame(
-                [(t, float(idf[t])) for t in present],
-                "term string, idf double"))
-            c = live_postings(spark, store, qblocks).join(idf_small, "term")
-            if mode == "compat":
-                w = S.tf_weight_compat(F.col("tf"))
-            else:
-                c = c.join(store.doclens(spark), "doc_id")
-                w = S.tf_weight_bm25(F.col("tf"), F.col("dl"), meta["avgdl"])
-            rows = (c.select("doc_id", (w * F.col("idf")).alias("contrib"))
-                    .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
-                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-                    .collect())
-            return spark.createDataFrame(rows, "doc_id long, score double")
-        t_star = max(present, key=lambda t: ubmax[t])
-        others = [t for t in present if t != t_star]
-
         idf_df = F.broadcast(spark.createDataFrame(
             [(t, float(idf[t])) for t in present], "term string, idf double"))
 
@@ -254,61 +290,145 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
             if mode == "compat":
                 w = S.tf_weight_compat(F.col("tf"))
             else:
-                dls = store.doclens(spark)
-                c = c.join(dls, "doc_id")
+                # dl is decoded from the block — BM25 is join-free
                 w = S.tf_weight_bm25(F.col("tf"), F.col("dl"), meta["avgdl"])
             return c.select("doc_id", (w * F.col("idf")).alias("contrib"))
 
-        # ---- pass 1: t* partials → θ (aggregated once, reused in the union)
-        p1 = (contributions(
-                live_postings(spark, store,
-                              qblocks.filter(F.col("term") == t_star)))
+        if small:
+            rows = (contributions(live_postings(spark, store, qblocks))
+                    .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                    .collect())
+            return spark.createDataFrame(rows, "doc_id long, score double")
+
+        t_star = max(present, key=lambda t: ubmax[t])
+
+        # mode-specific per-block bound column: compat prunes on raw
+        # max_tf (score is tf·idf); bm25 prunes on the STORED exact
+        # per-block impact bound max_imp (max tf-norm over the block's
+        # (tf, dl) pairs — max_tf alone cannot prune bm25 when tf
+        # correlates with dl). If avgdl drifted UP since encode, stored
+        # bounds are scaled sound via min_imp_basis (see codec).
+        bcol = "max_tf" if mode == "compat" else "max_imp"
+        basis_corr = 1.0
+        if mode != "compat":
+            now = float(meta.get("avgdl", 0.0) or 0.0)
+            mb = float(meta.get("min_imp_basis", now) or 0.0)
+            if mb > 0 and now > mb:
+                basis_corr = mb / now
+
+        # ---- seed: (bound, Σn) histogram of t* — memoized metadata job
+        hist = store.block_summary(spark, t_star, bcol)["hist"]
+        need = max(4 * k, SEED_MIN_POSTINGS)
+        if hist:
+            cutoff, acc = hist[-1][0], 0
+            for mt, pn in hist:
+                acc += pn
+                if acc >= need:
+                    cutoff = mt
+                    break
+        else:  # degenerate store (no bound metadata) → seed everything
+            cutoff = float("-inf")
+        seeds = qblocks.filter((F.col("term") == t_star)
+                               & (F.col(bcol) >= cutoff))
+        p1 = (contributions(live_postings(spark, store, seeds))
               .groupBy("doc_id").agg(F.sum("contrib").alias("contrib"))
               .persist())
         theta_rows = (p1.orderBy(F.desc("contrib"), F.asc("doc_id"))
                       .limit(k).collect())
-        theta = theta_rows[-1]["contrib"] if len(theta_rows) >= k else float("-inf")
+        theta = (theta_rows[-1]["contrib"] if len(theta_rows) >= k
+                 else float("-inf"))
 
-        if not others:
-            return spark.createDataFrame(
-                [(r["doc_id"], r["contrib"]) for r in theta_rows],
-                "doc_id long, score double")
+        # ---- MaxScore demotion: stopword-scale terms (df > LOOKUP_MIN_DF)
+        # whose SUMMED upper bounds stay below θ become LOOKUP terms — a
+        # doc containing only them cannot reach θ, so they never generate
+        # candidates; their tf is fetched later for the few candidates
+        # that can still win. t* is never demoted (UBmax(t*) ≥ θ by
+        # construction: θ is a seed partial ≤ UBmax(t*)).
+        non_ess: list[str] = []
+        ne_sum = 0.0
+        for t in sorted(present, key=lambda x: ubmax[x]):
+            if tstats[t][0] > lookup_min_df and ne_sum + ubmax[t] < theta:
+                non_ess.append(t)
+                ne_sum += ubmax[t]
+        ess = [t for t in present if t not in non_ess]
 
-        # ---- prune predicate per other term (pushed into the scan)
+        # ---- block-max prune over the ESSENTIAL terms (pushed into the
+        # parquet scan; row-group stats on max_tf skip pruned binaries)
         sum_all = sum(ubmax[t] for t in present)
         keep = None
-        for t in others:
-            sum_other = sum_all - ubmax[t]
+        for t in ess:
+            lo = theta - (sum_all - ubmax[t])
             if mode == "compat":
-                # UB(b) = max_tf · idf_t ≥ θ − Σ_other
-                if idf[t] <= 0:
-                    continue  # zero contribution — exact skip
-                min_maxtf = (theta - sum_other) / idf[t]
+                thr = _min_maxtf(mode, idf[t], tstats[t][1], lo)
             else:
-                # invert the conservative bm25 bound analytically:
-                # bound(m) = idf·m·A/(m+C), A=k1+1, C=k1(1−b), monotone in m
-                lo = theta - sum_other
-                A = S.K1_DEFAULT + 1.0
-                C = S.K1_DEFAULT * (1.0 - S.B_DEFAULT)
-                if lo <= 0:
-                    min_maxtf = 0.0
-                elif idf[t] * A - lo <= 0:
-                    min_maxtf = tstats[t][1] + 1  # sup(bound) < lo: skip all
-                else:
-                    min_maxtf = lo * C / (idf[t] * A - lo)
-            cond = (F.col("term") == t) & (F.col("max_tf") >= float(min_maxtf))
+                # block survives iff idf·max_imp·(1/basis_corr) ≥ lo
+                thr = 0.0 if lo <= 0 else (lo / idf[t]) * basis_corr
+            sv = F.col(bcol) >= float(thr)
+            if t == t_star:  # seeds already decoded
+                sv = sv & (F.col(bcol) < cutoff)
+            if mode != "compat":
+                # a block with no stored impact bound can never be
+                # pruned (NULL comparisons would silently drop it)
+                sv = sv | F.col(bcol).isNull()
+            cond = (F.col("term") == t) & sv
             keep = cond if keep is None else (keep | cond)
 
-        if keep is None:
-            survivors = qblocks.filter(F.lit(False))
-        else:
-            survivors = qblocks.filter(keep)
-        p2 = contributions(live_postings(spark, store, survivors))
+        p2 = contributions(live_postings(spark, store,
+                                         qblocks.filter(keep)))
+        cand = (p1.unionAll(p2)
+                .groupBy("doc_id").agg(F.sum("contrib").alias("partial")))
 
-        out = (p1.unionAll(p2)
-               .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
-               .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
-        rows = out.collect()
+        if not non_ess:
+            rows = (cand.select("doc_id", F.col("partial").alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                    .collect())
+        else:
+            # Exactness: every doc with true ≥ θ has an essential term
+            # (else true ≤ Σ_non-ess UBmax < θ), so `cand` is a complete
+            # candidate set; θ2 (k-th best essential partial) can only
+            # tighten it. Only candidates with partial + Σ_ne UBmax ≥ θ2
+            # can reach the top-k — ≥ k of them exist by construction.
+            cand = cand.persist()
+            krows = (cand.orderBy(F.desc("partial"), F.asc("doc_id"))
+                     .limit(k).collect())
+            theta2 = max(theta, krows[-1]["partial"]
+                         if len(krows) >= k else float("-inf"))
+            lk = cand.filter(
+                F.col("partial") >= float(theta2 - ne_sum)).persist()
+            lk_ids = F.broadcast(lk.select("doc_id"))
+            # a candidate's posting for a lookup term lives in exactly one
+            # gen-0 (salt, block): salt = pmod(xxhash64(doc), n_salt) with
+            # n_salt recovered from the block metadata (max salt + 1);
+            # incremental appends (gen > 0) always use salt 0 → matched by
+            # range alone. Decode ONLY blocks whose [first_doc, last_doc]
+            # covers a candidate in the right salt.
+            ns = {t: store.block_summary(spark, t, bcol)["n_salt0"]
+                  for t in non_ess}
+            parts = [lk.select("doc_id", F.col("partial").alias("contrib"))]
+            for t in non_ess:
+                cs = lk.select(
+                    "doc_id",
+                    F.pmod(F.xxhash64("doc_id"),
+                           F.lit(ns.get(t, 1))).cast("int").alias("csalt"))
+                hit = (qblocks.filter(F.col("term") == t).alias("b")
+                       .join(F.broadcast(cs).alias("c"),
+                             (F.col("b.first_doc") <= F.col("c.doc_id"))
+                             & (F.col("c.doc_id") <= F.col("b.last_doc"))
+                             & ((F.col("b.gen") != 0)
+                                | (F.col("b.salt") == F.col("c.csalt"))),
+                             "left_semi"))
+                parts.append(
+                    contributions(live_postings(spark, store, hit))
+                    .join(lk_ids, "doc_id").select("doc_id", "contrib"))
+            total = parts[0]
+            for p in parts[1:]:
+                total = total.unionAll(p)
+            rows = (total.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                    .collect())
+            lk.unpersist()
+            cand.unpersist()
 
         # Zero tier: the reference's OR semantics admits docs whose every
         # matched term has idf 0 (score 0.0) as real results
@@ -324,7 +444,5 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         return spark.createDataFrame(rows, "doc_id long, score double")
     finally:
         qblocks.unpersist()
-        try:
+        if p1 is not None:
             p1.unpersist()
-        except Exception:
-            pass

@@ -95,6 +95,31 @@ def qterms_idx(oracle):
     return [heavy, mid[len(mid) // 2], rare]
 
 
+@pytest.mark.parametrize("mode", ["compat", "bm25"])
+@pytest.mark.parametrize("k", [5, 10])
+def test_wand_lookup_path_equals_plain(spark, store, index_frames, mode, k,
+                                       qterms_idx):
+    """MaxScore demotion (lookup_min_df=1 forces the heavy term into the
+    lookup path) must stay top-k identical to the plain path."""
+    p, t, dls = index_frames
+    n = B.corpus_size(p)
+    q = qterms_idx
+    if mode == "compat":
+        plain = Q.candidate_scores(p, t, n, q, "compat")
+    else:
+        part = dls.filter(F.col("dl") > 0)
+        avgdl = float(part.agg(F.avg("dl")).first()[0])
+        plain = Q.candidate_scores(p, t, n, q, "bm25", doclens=part,
+                                   avgdl=avgdl)
+    want = [(r["doc_id"], r["score"]) for r in Q.topk(plain, k).collect()]
+    got = [(r["doc_id"], r["score"]) for r in
+           wand_topk(spark, store, q, k, mode, exhaustive_budget=0,
+                     lookup_min_df=1).collect()]
+    assert len(got) == len(want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd, gs, ws)
+
+
 def test_wand_single_and_absent(spark, store, qterms_idx):
     got = wand_topk(spark, store, [qterms_idx[2]], 10).collect()
     assert len(got) >= 1
