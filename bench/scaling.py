@@ -21,8 +21,10 @@ sys.path.insert(0, REPO)
 
 DOCS = int(os.environ.get("SCALE_DOCS", "2000000"))
 SHUFFLE = int(os.environ.get("SCALE_SHUFFLE", "128"))  # sized for local[32]
-LEVELS = (8, 32)
+LEVELS = tuple(int(x) for x in
+               os.environ.get("SCALE_LEVELS", "8,32").split(","))
 BEST_OF = int(os.environ.get("SCALE_BEST_OF", "2"))
+OUT_TAG = os.environ.get("SCALE_TAG", "")  # suffix for report files
 
 
 def settle(target: float = 1.5, max_wait: int = 300) -> None:
@@ -152,28 +154,35 @@ def main() -> None:
         results[cpus] = {"build": build, "query": query}
         print(json.dumps({cpus: results[cpus]}), flush=True)
 
-    r8 = results[8]["build"]["docs_per_sec"]
-    r32 = results[32]["build"]["docs_per_sec"]
-    eff = r32 / (4 * r8)
+    lo, hi = LEVELS[0], LEVELS[-1]
+    r8 = results[lo]["build"]["docs_per_sec"]
+    r32 = results[hi]["build"]["docs_per_sec"]
+    eff = r32 / ((hi // lo) * r8)
     skew = skew_evidence(corpus)
 
     report = {"docs": DOCS, "shuffle_partitions": SHUFFLE,
+              "levels": list(LEVELS),
               "r8_docs_per_sec": r8, "r32_docs_per_sec": r32,
-              "t8_sec": results[8]["build"]["seconds"],
-              "t32_sec": results[32]["build"]["seconds"],
+              "t8_sec": results[lo]["build"]["seconds"],
+              "t32_sec": results[hi]["build"]["seconds"],
+              "attempts": {c: results[c]["build"].get("attempts_sec")
+                           for c in LEVELS},
               "scaling_efficiency": round(eff, 3),
               "query": {c: results[c]["query"] for c in LEVELS},
               "skew": skew}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
+    out_json = f"scaling_results{OUT_TAG}.json"
+    with open(os.path.join(REPO, "BENCH", out_json), "w") as f:
         json.dump(report, f, indent=2)
-    _write_md(report, results)
+    if not OUT_TAG:  # tagged runs are supplementary evidence only
+        _write_md(report, results)
     print(json.dumps(report))
     shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _write_md(rep: dict, results: dict) -> None:
-    q8, q32 = rep["query"][8], rep["query"][32]
+    lo, hi = rep.get("levels", [8, 32])[0], rep.get("levels", [8, 32])[-1]
+    q8, q32 = rep["query"][lo], rep["query"][hi]
     md = f"""# BENCH/BASELINE — measured results
 
 ## Index-build throughput & N→4N scaling (north-rule protocol)
@@ -183,10 +192,12 @@ pages, seed 42), same shuffle partitions ({rep['shuffle_partitions']}),
 identical `spark-submit --py-files engine.zip jobs/build_index.py` at
 two parallelism levels:
 
-| level | wall (build job `seconds`) | docs/sec |
+| level | wall (build job `seconds`, best of {BEST_OF}) | docs/sec |
 |---|---|---|
-| local[8]  (N)  | {rep['t8_sec']} s | {rep['r8_docs_per_sec']} |
-| local[32] (4N) | {rep['t32_sec']} s | {rep['r32_docs_per_sec']} |
+| local[{lo}]  (N)  | {rep['t8_sec']} s | {rep['r8_docs_per_sec']} |
+| local[{hi}] (4N) | {rep['t32_sec']} s | {rep['r32_docs_per_sec']} |
+
+All attempts (sec): {rep.get('attempts')}
 
 **Scaling efficiency E = R32 / (4·R8) = {rep['scaling_efficiency']}**
 (target ≥ 0.8 → {"PASS" if rep['scaling_efficiency'] >= 0.8 else "FAIL"}).
@@ -194,16 +205,16 @@ two parallelism levels:
 Exact commands:
 
 ```
-{results[8]['build']['cmd']}
-{results[32]['build']['cmd']}
+{results[lo]['build']['cmd']}
+{results[hi]['build']['cmd']}
 ```
 
 ## Top-k query latency (block-max WAND, k=10, 5-query reference mix × 10 reps)
 
 | level | compat p50 | compat p95 | bm25 p50 | bm25 p95 |
 |---|---|---|---|---|
-| local[8]  | {q8['compat_p50_sec']} s | {q8['compat_p95_sec']} s | {q8['bm25_p50_sec']} s | {q8['bm25_p95_sec']} s |
-| local[32] | {q32['compat_p50_sec']} s | {q32['compat_p95_sec']} s | {q32['bm25_p50_sec']} s | {q32['bm25_p95_sec']} s |
+| local[{lo}]  | {q8['compat_p50_sec']} s | {q8['compat_p95_sec']} s | {q8['bm25_p50_sec']} s | {q8['bm25_p95_sec']} s |
+| local[{hi}] | {q32['compat_p50_sec']} s | {q32['compat_p95_sec']} s | {q32['bm25_p50_sec']} s | {q32['bm25_p95_sec']} s |
 
 ## Skew evidence (salted term partitioning, threshold {rep['skew']['salt_threshold']:,})
 

@@ -23,6 +23,8 @@ def main() -> None:
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--limit", type=int, default=10)
     ap.add_argument("--mode", choices=["compat", "bm25"], default="compat")
+    ap.add_argument("--site", default=None,
+                    help="host filter (the reference's site= query param)")
     ap.add_argument("--statistics", action="store_true",
                     help="print /api/statistics instead of searching")
     args = ap.parse_args()
@@ -36,6 +38,7 @@ def main() -> None:
     spark = SparkSession.builder.appName("search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     store = IndexStore(args.index)
+    store.n_buckets = store.meta()["n_buckets"]
 
     if args.statistics:
         print(json.dumps(statistics_service(spark, store), ensure_ascii=False))
@@ -43,7 +46,7 @@ def main() -> None:
         print(json.dumps(
             search_service(spark, store, args.query,
                            offset=args.offset, limit=args.limit,
-                           mode=args.mode),
+                           mode=args.mode, site=args.site),
             ensure_ascii=False))
 
 
