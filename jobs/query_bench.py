@@ -31,9 +31,8 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("query_bench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # IndexStore recovers n_buckets / salt_threshold from meta.json itself
     store = IndexStore(args.index)
-    meta = store.meta()
-    store.n_buckets = meta["n_buckets"]
 
     terms = (store.terms(spark).orderBy(F.desc("df")).limit(5000).collect())
     by_df = sorted(terms, key=lambda r: r["df"])

@@ -37,8 +37,8 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # IndexStore recovers n_buckets / salt_threshold from meta.json itself
     store = IndexStore(args.index)
-    store.n_buckets = store.meta()["n_buckets"]
 
     if args.statistics:
         print(json.dumps(statistics_service(spark, store), ensure_ascii=False))

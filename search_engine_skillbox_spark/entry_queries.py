@@ -534,6 +534,38 @@ def q_search_site_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK_W)
 
 
+def q_search_after_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 through the DRIVER GATE (round-2 VERDICT #6): build the
+    physical index, reindex_page doc 5 with CHANGED text (appended
+    ' merge merge spark'), delete_page doc 7, then run the pruned
+    search over the mutated store — tombstones, generational appends
+    and exact dictionary deltas all on the scored path. Oracle: the
+    same TF-IDF SQL recomputed from scratch over the POST-EDIT corpus
+    (doc 5 text replaced, doc 7 absent) — any drift in df/cf/N/avgdl
+    maintenance or tombstone filtering breaks the hash."""
+    import datetime as dt
+
+    from .operators.incremental import delete_page, reindex_page
+    from .operators.wand import wand_topk
+    st, docs = _build_store(spark, sf_dir)
+    r5 = (docs.filter(F.col("doc_id") == 5)
+          .select("source", "text", "lang").first())
+    r7 = docs.filter(F.col("doc_id") == 7).select("source").first()
+    reindex_page(spark, st, {
+        "url": f"https://{r5['source']}.test/doc/5",
+        "warc_ts": dt.datetime(2025, 1, 1), "html": None,
+        "text": r5["text"] + " merge merge spark", "lang": r5["lang"]})
+    delete_page(spark, st, f"https://{r7['source']}.test/doc/7")
+    top = wand_topk(spark, st, QUERY_TERMS_W, int(docs.count()))
+    url_doc = st.docs(spark).select(
+        "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("long").alias("orig_id"))
+    out = (top.join(F.broadcast(url_doc), "doc_id")
+           .select(F.col("orig_id").alias("doc_id"),
+                   F.round("score", 4).alias("score")))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK_W)
+
+
 QUERY_TERMS_W = ["spark", "join", "merge"]
 TOPK_W = 10
 
@@ -577,6 +609,38 @@ FROM scores
 ORDER BY round(raw, 4) DESC, doc_id ASC
 LIMIT {TOPK_W}"""
 
+_SQL_AFTER_REINDEX = f"""WITH
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 5 THEN text || ' merge merge spark'
+              ELSE text END AS text
+  FROM documents WHERE doc_id <> 7
+),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\\p{{L}}]+')) AS term
+  FROM base
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
+qdf AS (
+  SELECT term, count(*) AS df FROM postings
+  WHERE term IN ('spark', 'join', 'merge') GROUP BY term
+),
+scores AS (
+  SELECT p.doc_id,
+         sum(p.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))) AS raw
+  FROM postings p JOIN qdf d USING (term) CROSS JOIN n
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scores
+ORDER BY round(raw, 4) DESC, doc_id ASC
+LIMIT {TOPK_W}"""
+
 _SQL_WAND = f"""WITH {_SQL_TOKS_PLAIN},
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
 qdf AS (
@@ -599,6 +663,7 @@ QUERIES = {
     "index_block_roundtrip": q_index_roundtrip,
     "search_wand_topk": q_search_wand_topk,
     "search_tfidf_site_physical": q_search_site_physical,
+    "search_after_reindex": q_search_after_reindex,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -614,6 +679,7 @@ ORACLES = {
     "index_block_roundtrip": _SQL_ROUNDTRIP,
     "search_wand_topk": _SQL_WAND,
     "search_tfidf_site_physical": _SQL_WAND_SITE,
+    "search_after_reindex": _SQL_AFTER_REINDEX,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": _minhash_sql(),

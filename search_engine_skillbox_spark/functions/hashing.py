@@ -75,6 +75,20 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return spark_xxhash64_str(term) % n_buckets
 
 
+def spark_xxhash64_long(v: int) -> int:
+    """Signed-int64 value equal to Spark's xxhash64(bigint_col): XXH64 of
+    the value's 8-byte little-endian representation, seed 42."""
+    import struct
+    h = xxh64(struct.pack("<q", v), 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def doc_bucket(doc_id: int, n_buckets: int) -> int:
+    """pmod(xxhash64(doc_id), n_buckets) — driver-side twin of the doc
+    partition key, so point operations prune without a Spark job."""
+    return spark_xxhash64_long(doc_id) % n_buckets
+
+
 # --- cross-engine deterministic column hashes -----------------------------
 # Oracle parity (DuckDB) needs a hash computable identically in both
 # engines. md5 is the shared primitive: h60 = first 15 hex digits as int

@@ -36,6 +36,20 @@ def url_path(c: Column) -> Column:
     return F.when(F.length(p) == 0, F.lit("/")).otherwise(p)
 
 
+def site_name_py(host: str | None) -> str:
+    """Driver-side twin of site_name for presentation code operating on
+    an already-extracted host: first label, FIRST char uppercased, rest
+    unchanged (UrlUtils.java:43-59 — NOT str.capitalize(), which also
+    lowercases the tail: "MySite" must stay "MySite", not "Mysite");
+    "Unknown" when the host is missing or its first label is empty."""
+    if not host:
+        return "Unknown"
+    label = host.split(".")[0]
+    if not label:
+        return "Unknown"
+    return label[0].upper() + label[1:]
+
+
 def site_name(c: Column) -> Column:
     """First label of the host, initial-capitalized; malformed URLs (no
     parseable host → new URL() throws, or an empty first label → the

@@ -72,12 +72,22 @@ def _drop_big_buckets(rows: DataFrame, keys: list[str], max_bucket: int,
                       what: str) -> DataFrame:
     """Remove rows of buckets with more than max_bucket members — the
     boilerplate-skew guard (a bucket of b members emits O(b²) candidate
-    pairs). The dropped-bucket count is logged, never silent."""
+    pairs). The dropped-bucket count is logged, never silent — from the
+    SAME aggregation pass the anti-join consumes: `over` (only the few
+    skewed buckets — tiny by construction) is persisted, the logging
+    count() materializes it, and the join's build side reuses the cache
+    instead of recomputing the full groupBy (the round-2 version ran
+    the bucket-size aggregation twice per dedup call).
+
+    (An Observation would fold the count into the caller's job with
+    zero extra actions, but the result feeds a self-join — the observed
+    subtree then appears twice in one plan and the metric never fires.)
+    """
     sizes = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-    over = sizes.filter(F.col("__n") > max_bucket)
+    over = sizes.filter(F.col("__n") > max_bucket).persist()
     n_over = over.count()
     if n_over:
-        log.warning("dedup: dropping %d %s bucket(s) larger than %d members",
+        log.warning("dedup: dropped %d %s bucket(s) larger than %d members",
                     n_over, what, max_bucket)
     return rows.join(over.select(*keys), keys, "left_anti")
 

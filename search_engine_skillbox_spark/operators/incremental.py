@@ -69,10 +69,17 @@ def _incr_lineage(store: IndexStore):
     return Lineage(os.path.join(store.path, "lineage.jsonl"))
 
 
-def _step(lineage, build_id: str, pid: str, fn) -> None:
+def _step(lineage, build_id: str, pid: str, fn,
+          done: set | None = None) -> None:
     """Run one incremental mutation step with a lineage row (RUNNING →
     DONE/FAILED); a crash leaves an inspectable record of how far the
-    generation got (recovery: check_consistency / compact)."""
+    generation got (recovery: check_consistency / compact). `done`
+    (lineage.done_partitions of this generation) makes a REPLAY of a
+    partially-applied generation skip completed steps — the non-
+    idempotent ones (block append, dictionary deltas) must never run
+    twice for the same gen."""
+    if done and pid in done:
+        return
     t0 = lineage.start(build_id, pid)
     try:
         fn()
@@ -83,7 +90,10 @@ def _step(lineage, build_id: str, pid: str, fn) -> None:
 
 
 def _doc_row(spark: SparkSession, store: IndexStore, doc_id: int):
+    from ..functions.hashing import doc_bucket
+    db = doc_bucket(doc_id, store.n_buckets)
     rows = (store.docs(spark)
+            .filter(F.col("doc_bucket") == db)  # partition pruning
             .filter(F.col("doc_id") == doc_id)
             .select("doc_id", "url", "url_norm", "host", "path", "text",
                     "lang").collect())
@@ -105,12 +115,22 @@ def _append_blocks(spark: SparkSession, store: IndexStore,
                             **blk))
     if not rows:
         return
-    df = spark.createDataFrame(rows).select(
+    # max_imp MUST ride along: dropping it here makes appended files
+    # diverge from the gen-0 schema (mixed parquet footers — reads then
+    # nondeterministically lose the column) and appended blocks would
+    # read NULL max_imp, permanently losing BM25 block pruning. Explicit
+    # schema: inference would fail on an all-None max_imp (avgdl=0 store).
+    df = spark.createDataFrame(
+        rows,
+        "term string, salt int, gen int, bucket int, block_id long, "
+        "n long, max_tf long, first_doc long, last_doc long, "
+        "docs binary, tfs binary, dls binary, max_imp double").select(
         "term", F.col("salt").cast("int").alias("salt"),
         F.col("block_id").cast("int").alias("block_id"),
         F.col("n").cast("int").alias("n"),
         F.col("max_tf").cast("int").alias("max_tf"),
         "first_doc", "last_doc", "docs", "tfs", "dls",
+        F.col("max_imp").cast("double").alias("max_imp"),
         F.col("gen").cast("int").alias("gen"),
         F.col("bucket").cast("int").alias("bucket"))
     (df.coalesce(1).write.mode("append").partitionBy("bucket")
@@ -160,7 +180,11 @@ def _update_terms(spark: SparkSession, store: IndexStore,
                 + F.coalesce(F.col("d_cf"), F.lit(0))).alias("cf"),
                F.greatest(F.coalesce(F.col("max_tf"), F.lit(0)),
                           F.coalesce(F.col("new_tf"), F.lit(0)))
-               .cast("int").alias("max_tf"))
+               .cast("int").alias("max_tf"),
+               # gen-0 salt layout is fixed at build: PRESERVE n_salt;
+               # brand-new terms only ever have salt-0 append blocks → 1
+               F.coalesce(F.col("n_salt"), F.lit(1)).cast("int")
+               .alias("n_salt"))
            .filter(F.col("df") > 0))
     upd = upd.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("term")),
@@ -175,20 +199,24 @@ def _update_terms(spark: SparkSession, store: IndexStore,
 
 
 def _update_doc_tables(spark: SparkSession, store: IndexStore,
-                       doc_id: int, new_row: dict | None,
+                       doc_id: int, host: str, new_row: dict | None,
                        new_dl: int | None) -> None:
-    """Replace (or drop) the doc's row in docs/ and doclens/ — rewrites
-    only the doc's hash-bucket partition."""
-    import struct
-    # doc bucket = pmod(xxhash64(long doc_id), n_buckets): hash of the
-    # 8-byte little-endian long, matching F.xxhash64(bigint)
-    from ..functions.hashing import xxh64
-    h = xxh64(struct.pack("<q", doc_id), 42)
-    h = h - (1 << 64) if h >= (1 << 63) else h
-    dbucket = h % store.n_buckets
+    """Replace (or drop) the doc's row in docs/ and doclens/ — reads and
+    rewrites ONLY the doc's partition, via a DIRECT overwrite of the
+    partition directory. Dynamic partition overwrite cannot be used
+    here: it never CLEARS a partition whose merged content is empty, so
+    deleting the last doc of a partition would leave a stale row that a
+    later re-add of the same url double-decrements the dictionaries
+    with. host is immutable per doc_id (doc_id = hash(url_norm), host
+    derived from url_norm), so the doc's (host_bucket, doc_bucket) is
+    stable across reindexes."""
+    from ..functions.hashing import doc_bucket, term_bucket
+    db = doc_bucket(doc_id, store.n_buckets)
+    hb = term_bucket(host, store.n_buckets)  # pmod(xxhash64(host), n)
 
     docs_cur = (store.docs(spark)
-                .filter(F.col("doc_bucket") == dbucket)
+                .filter((F.col("host_bucket") == hb)
+                        & (F.col("doc_bucket") == db))  # pruned read
                 .filter(F.col("doc_id") != doc_id)
                 .select("doc_id", "url", "url_norm", "host", "path",
                         "text", "lang"))
@@ -198,27 +226,24 @@ def _update_doc_tables(spark: SparkSession, store: IndexStore,
             "doc_id long, url string, url_norm string, host string, "
             "path string, text string, lang string")
         docs_cur = docs_cur.unionByName(add)
-    # localCheckpoint: the merged bucket (which includes full text rows)
-    # never round-trips through the driver; the read-path dependency on
-    # docs/ is cut before the dynamic overwrite of the same path.
+    # localCheckpoint: the merged partition (which includes full text
+    # rows) never round-trips through the driver; the read-path
+    # dependency on docs/ is cut before overwriting the same directory.
     out = docs_cur.localCheckpoint()
-    (out.withColumn("doc_bucket", F.lit(dbucket).cast("int"))
-     .coalesce(1).write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("doc_bucket").parquet(os.path.join(store.path, "docs")))
+    (out.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(store.path, "docs",
+                           f"host_bucket={hb}", f"doc_bucket={db}")))
 
     dl_cur = (store.doclens(spark)
-              .filter(F.col("doc_bucket") == dbucket)
+              .filter(F.col("doc_bucket") == db)
               .filter(F.col("doc_id") != doc_id)
               .select("doc_id", F.col("dl").cast("int").alias("dl")))
     if new_dl is not None and new_dl > 0:
         dl_cur = dl_cur.unionByName(spark.createDataFrame(
             [(doc_id, new_dl)], "doc_id long, dl int"))
     dl_out = dl_cur.localCheckpoint()
-    (dl_out.withColumn("doc_bucket", F.lit(dbucket).cast("int"))
-     .coalesce(1).write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("doc_bucket").parquet(os.path.join(store.path, "doclens")))
+    (dl_out.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(store.path, "doclens", f"doc_bucket={db}")))
 
 
 def reindex_page(spark: SparkSession, store: IndexStore,
@@ -260,7 +285,8 @@ def reindex_page(spark: SparkSession, store: IndexStore,
                "lang": prep["lang"]}
     new_dl = sum(new_counts.values())
     _step(lineage, bid, "docs",
-          lambda: _update_doc_tables(spark, store, doc_id, new_row, new_dl))
+          lambda: _update_doc_tables(spark, store, doc_id, prep["host"],
+                                     new_row, new_dl))
     # 5. meta: n_docs / avgdl / gen
     old_dl = sum(old_counts.values())
     meta["gen"] = gen
@@ -275,10 +301,21 @@ def reindex_page(spark: SparkSession, store: IndexStore,
     meta["n_dl"] = meta.get("n_dl", 0) - (1 if old_dl > 0 else 0) \
         + (1 if new_dl > 0 else 0)
     meta["avgdl"] = (meta["sum_dl"] / meta["n_dl"]) if meta["n_dl"] else 0.0
+    # exact per-host participating-doc count (the dashboard reads meta,
+    # never scans docs/): +1 when the doc starts participating, −1 when
+    # it stops (zero-term rewrite)
     host = prep["host"]
     by_host = meta.get("n_docs_by_host", {})
-    if old is None and new_dl > 0:
-        by_host[host] = by_host.get(host, 0) + 1
+    dh = (1 if new_dl > 0 else 0) - (1 if old_dl > 0 else 0)
+    if dh:
+        by_host[host] = by_host.get(host, 0) + dh
+        if by_host[host] <= 0:
+            by_host.pop(host)
+    meta["n_docs_by_host"] = by_host
+    if old is None:  # page rows count every saved page, zero-term or not
+        pages = meta.get("n_pages_by_host", {})
+        pages[host] = pages.get(host, 0) + 1
+        meta["n_pages_by_host"] = pages
     store.write_meta(meta)
     store.invalidate_reads()
     return {"doc_id": doc_id, "old_existed": old is not None,
@@ -307,22 +344,46 @@ def delete_page(spark: SparkSession, store: IndexStore, url: str) -> dict:
     _step(lineage, bid, "terms",
           lambda: _update_terms(spark, store, old_counts, Counter()))
     _step(lineage, bid, "docs",
-          lambda: _update_doc_tables(spark, store, doc_id, None, None))
+          lambda: _update_doc_tables(spark, store, doc_id, old["host"],
+                                     None, None))
     old_dl = sum(old_counts.values())
     meta["gen"] = gen
     meta["n_docs"] -= (1 if old_dl > 0 else 0)
     meta["sum_dl"] = meta.get("sum_dl", 0) - old_dl
     meta["n_dl"] = meta.get("n_dl", 0) - (1 if old_dl > 0 else 0)
     meta["avgdl"] = (meta["sum_dl"] / meta["n_dl"]) if meta["n_dl"] else 0.0
+    h = old["host"]
+    if old_dl > 0:
+        by_host = meta.get("n_docs_by_host", {})
+        by_host[h] = by_host.get(h, 0) - 1
+        if by_host[h] <= 0:
+            by_host.pop(h)
+        meta["n_docs_by_host"] = by_host
+    pages = meta.get("n_pages_by_host", {})
+    if h in pages:
+        pages[h] -= 1
+        if pages[h] <= 0:
+            pages.pop(h)
+        meta["n_pages_by_host"] = pages
     store.write_meta(meta)
     store.invalidate_reads()
     return {"doc_id": doc_id, "deleted": True}
 
 
 def reindex_batch(spark: SparkSession, store: IndexStore,
-                  raw_pages) -> dict:
+                  raw_pages, idem_key: tuple[str, int] | None = None) -> dict:
     """Distributed bulk reindex: the foreachBatch body of the streaming
     ingest (streaming/ingest.py) and the bulk form of reindex_page.
+
+    idem_key = (stream_id, batch_id): the foreachBatch replay guard.
+    A batch whose id is ≤ the recorded progress for its stream is a
+    committed replay → exact no-op (returns the recorded stats). A
+    replay of a PARTIALLY-applied generation (crash mid-batch, meta not
+    yet bumped) recomputes the same gen and skips lineage-DONE steps, so
+    blocks are never appended twice and dictionary deltas never applied
+    twice; meta counters can still drift in that window (deltas are
+    recomputed against partially-overwritten docs/) — check_consistency
+    detects it, compact() repairs.
 
     Everything is DataFrame work — no per-row driver loops:
       new postings   postings_flat over the prepared batch
@@ -337,6 +398,10 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
     from .build import postings_flat, term_stats
 
     meta = store.meta()
+    if idem_key is not None:
+        rec = meta.get("stream_progress", {}).get(idem_key[0])
+        if rec is not None and idem_key[1] <= rec["batch_id"]:
+            return {**rec["stats"], "replayed": True}
     gen = int(meta.get("gen", 0)) + 1
 
     prep = prepare_pages(raw_pages).persist()
@@ -350,6 +415,7 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
 
     lineage = _incr_lineage(store)
     bid = f"incr-g{gen}"
+    done = lineage.done_partitions(bid)  # partial-replay step skip
 
     # --- 1. tombstones for every pre-existing doc. The doc-id list is a
     # batch-sized driver collect (one long per doc in THIS batch — does
@@ -357,7 +423,8 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
     olds = [r["doc_id"] for r in old_docs.select("doc_id").collect()]
     _step(lineage, bid, "tombstones",
           lambda: _write_tombstones(spark, store,
-                                    [(d, gen - 1) for d in olds]))
+                                    [(d, gen - 1) for d in olds]),
+          done=done)
 
     # --- 2. append new postings as gen blocks (same encode pipeline;
     # dl joined on so the blocks stay join-free for BM25)
@@ -379,7 +446,8 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
                                         F.lit(store.n_buckets)).cast("int")))
     _step(lineage, bid, "blocks",
           lambda: (enc.write.mode("append").partitionBy("bucket")
-                   .parquet(os.path.join(store.path, "blocks"))))
+                   .parquet(os.path.join(store.path, "blocks"))),
+          done=done)
 
     # Collect meta deltas NOW — a later dynamic overwrite of docs/
     # invalidates the cached old_docs/old_posts plans (Spark refreshes
@@ -389,7 +457,9 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
     new_dl_rows = (new_posts.groupBy("doc_id")
                    .agg(F.sum("tf").cast("int").alias("dl")).collect())
     new_dl = {r["doc_id"]: r["dl"] for r in new_dl_rows}
-    all_ids = [r["doc_id"] for r in batch_ids.collect()]
+    id_host = {r["doc_id"]: r["host"]
+               for r in prep.select("doc_id", "host").collect()}
+    all_ids = list(id_host)
 
     # --- 3. dictionary deltas (affected term buckets only)
     new_stats = term_stats(new_posts).withColumnRenamed("df", "ndf") \
@@ -414,7 +484,11 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
                     - F.coalesce("ocf", F.lit(0))).cast("long").alias("cf"),
                    F.greatest(F.coalesce("max_tf", F.lit(0)),
                               F.coalesce("nmax", F.lit(0)))
-                   .cast("int").alias("max_tf"))
+                   .cast("int").alias("max_tf"),
+                   # preserve the build-time gen-0 salt layout (new terms
+                   # only ever gain salt-0 append blocks)
+                   F.coalesce("n_salt", F.lit(1)).cast("int")
+                   .alias("n_salt"))
                .filter(F.col("df") > 0)
                .withColumn("bucket",
                            F.pmod(F.xxhash64("term"),
@@ -427,13 +501,22 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
               lambda: (out.write.mode("overwrite")
                        .option("partitionOverwriteMode", "dynamic")
                        .partitionBy("bucket")
-                       .parquet(os.path.join(store.path, "terms"))))
+                       .parquet(os.path.join(store.path, "terms"))),
+              done=done)
 
-    # --- 4. docs + doclens (affected doc buckets)
+    # --- 4. docs + doclens (affected doc buckets). Safe under dynamic
+    # overwrite (unlike the single-doc delete path): reindex_batch never
+    # REMOVES docs, and a doc's (host_bucket, doc_bucket) is immutable,
+    # so every rewritten partition keeps ≥ its non-batch rows — no
+    # partition can end up empty-but-uncleared.
     doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
                         F.lit(store.n_buckets)).cast("int")
-    new_rows = prep.select("doc_id", "url", "url_norm", "host", "path",
-                           "text", "lang").withColumn("doc_bucket", doc_bucket)
+    host_bucket = F.pmod(F.xxhash64(F.col("host")),
+                         F.lit(store.n_buckets)).cast("int")
+    new_rows = (prep.select("doc_id", "url", "url_norm", "host", "path",
+                            "text", "lang")
+                .withColumn("doc_bucket", doc_bucket)
+                .withColumn("host_bucket", host_bucket))
     dbuckets = [r["doc_bucket"] for r in
                 new_rows.select("doc_bucket").distinct().collect()]
     keep = (store.docs(spark).filter(F.col("doc_bucket").isin(dbuckets))
@@ -446,8 +529,9 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
     _step(lineage, bid, "docs",
           lambda: (out_docs.write.mode("overwrite")
                    .option("partitionOverwriteMode", "dynamic")
-                   .partitionBy("doc_bucket")
-                   .parquet(os.path.join(store.path, "docs"))))
+                   .partitionBy("host_bucket", "doc_bucket")
+                   .parquet(os.path.join(store.path, "docs"))),
+          done=done)
 
     new_dls = (spark.createDataFrame(new_dl_rows, "doc_id long, dl int")
                .withColumn("doc_bucket", doc_bucket))
@@ -462,10 +546,17 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
           lambda: (merged_dl.write.mode("overwrite")
                    .option("partitionOverwriteMode", "dynamic")
                    .partitionBy("doc_bucket")
-                   .parquet(os.path.join(store.path, "doclens"))))
+                   .parquet(os.path.join(store.path, "doclens"))),
+          done=done)
 
     # --- 5. meta (exact adjustments from the pre-overwrite collections)
     olds_set = set(olds)
+    by_host = meta.get("n_docs_by_host", {})
+    pages = meta.get("n_pages_by_host", {})
+    for d in all_ids:
+        if d not in olds_set:  # brand-new page row
+            pages[id_host[d]] = pages.get(id_host[d], 0) + 1
+    meta["n_pages_by_host"] = pages
     for d in all_ids:
         o = old_dl.get(d, 0)
         n = new_dl.get(d, 0)
@@ -473,19 +564,33 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
         meta["n_docs"] += (1 if n > 0 else 0) - (1 if had else 0)
         meta["sum_dl"] = meta.get("sum_dl", 0) + n - o
         meta["n_dl"] = meta.get("n_dl", 0) + (1 if n > 0 else 0) - (1 if had else 0)
+        dh = (1 if n > 0 else 0) - (1 if had else 0)
+        if dh:
+            h = id_host[d]
+            by_host[h] = by_host.get(h, 0) + dh
+            if by_host[h] <= 0:
+                by_host.pop(h)
+    meta["n_docs_by_host"] = by_host
     meta["avgdl"] = (meta["sum_dl"] / meta["n_dl"]) if meta.get("n_dl") else 0.0
     meta["gen"] = gen
     if enc_basis > 0:
         meta["min_imp_basis"] = min(
             float(meta.get("min_imp_basis", enc_basis)), enc_basis)
+    n_batch = len(all_ids)
+    result = {"batch_docs": n_batch, "gen": gen,
+              "reindexed": len(olds), "new": n_batch - len(olds)}
+    if idem_key is not None:
+        # commit the stream progress in the SAME meta write as the gen
+        # bump: a replay of any batch ≤ this id is then an exact no-op.
+        # Only the latest batch per stream is kept (ids are monotone).
+        sp = meta.setdefault("stream_progress", {})
+        sp[idem_key[0]] = {"batch_id": idem_key[1], "stats": result}
     store.write_meta(meta)
 
-    n_batch = len(all_ids)
     store.invalidate_reads()
     for df_ in (prep, old_docs, new_posts, old_posts):
         df_.unpersist()
-    return {"batch_docs": n_batch, "gen": gen,
-            "reindexed": len(olds), "new": n_batch - len(olds)}
+    return result
 
 
 def check_consistency(spark: SparkSession, store: IndexStore) -> dict:

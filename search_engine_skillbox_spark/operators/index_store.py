@@ -46,6 +46,12 @@ BLOCKS_SCHEMA = ("term string, salt int, block_id int, n int, max_tf int, "
                  "first_doc long, last_doc long, docs binary, tfs binary, "
                  "dls binary, max_imp double")
 
+# On-disk store format. 3 = per-posting dls + per-block max_imp in the
+# block files, n_salt persisted in the terms table, docs/ partitioned by
+# (host_bucket, doc_bucket). Bumped whenever a reader of the current
+# code would fail or silently degrade on an older layout.
+FORMAT_VERSION = 3
+
 
 def make_block_encoder(avgdl: float | None):
     """mapInPandas encoder over (term, salt, doc_id, tf, dl) sorted
@@ -105,9 +111,31 @@ def make_block_encoder(avgdl: float | None):
 class IndexStore:
     def __init__(self, path: str, n_buckets: int = 32,
                  salt_threshold: int = 50_000):
+        """Open (or prepare to build) a store at `path`.
+
+        When meta.json already exists, its recorded n_buckets /
+        salt_threshold OVERRIDE the constructor arguments — a store
+        built with a different bucket count would otherwise silently
+        bucket-prune to the wrong partitions (queries return empty with
+        no error). Constructor args only parameterize a NEW build.
+        Stores older than FORMAT_VERSION fail fast with a rebuild hint
+        instead of failing later on a missing column."""
         self.path = path
         self.n_buckets = n_buckets
         self.salt_threshold = salt_threshold
+        mpath = os.path.join(path, "meta.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            self.n_buckets = int(m.get("n_buckets", n_buckets))
+            self.salt_threshold = int(m.get("salt_threshold", salt_threshold))
+            fmt = int(m.get("format", 1))
+            if fmt < FORMAT_VERSION:
+                raise RuntimeError(
+                    f"index store at {path} has on-disk format {fmt} < "
+                    f"{FORMAT_VERSION} (blocks may lack dls/max_imp or "
+                    f"terms may lack n_salt): rebuild required "
+                    f"(IndexStore.build or operators.incremental.compact)")
 
     # ---------------- build ----------------
 
@@ -132,6 +160,15 @@ class IndexStore:
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("cf"),
             F.max("tf").cast("int").alias("max_tf"))
+            # n_salt PERSISTED (not inferred from block metadata later):
+            # the gen-0 salt layout is fixed at build time; inferring it
+            # from max-observed-salt silently under-counts when a heavy
+            # term's highest salt bucket happens to be empty.
+            .withColumn(
+                "n_salt",
+                F.when(F.col("df") > self.salt_threshold,
+                       F.ceil(F.col("df") / self.salt_threshold))
+                .otherwise(F.lit(1)).cast("int"))
             .withColumn("bucket", bucket.cast("int"))
             .persist())
         # Materialize the caches before the dims/blocks threads fork: two
@@ -141,7 +178,7 @@ class IndexStore:
         # so all three caches fill in the same pass. Lineage-timed so the
         # scaling report can decompose the serial tail per phase.
         t_mat = lineage.start(build_id, "materialize")
-        terms_full.count()
+        n_terms_total = terms_full.count()  # also the dashboard lemma count
         lineage.done(build_id, "materialize", t_mat, rows=0, nbytes=0)
         # dl = Σ tf from postings — avoids re-tokenizing the whole corpus;
         # zero-term docs have no postings and BM25 never weights them.
@@ -161,11 +198,9 @@ class IndexStore:
         avgdl_build = (sum_dl / n_docs_total) if n_docs_total else 0.0
         encoder = make_block_encoder(avgdl_build)
 
-        # salted skew handling: few heavy terms → broadcast their salt counts
-        heavy = (terms_full.filter(F.col("df") > self.salt_threshold)
-                 .select("term",
-                         F.ceil(F.col("df") / self.salt_threshold)
-                         .cast("int").alias("n_salt")))
+        # salted skew handling: few heavy terms → broadcast their salt
+        # counts (the same n_salt the terms table persists)
+        heavy = terms_full.filter(F.col("n_salt") > 1).select("term", "n_salt")
         # dl joins ONTO the postings here (doc-keyed shuffle join) so the
         # encoder can store it per posting: one extra exchange at build
         # buys join-free BM25 at query time (a 10^12-row doclens join per
@@ -211,11 +246,22 @@ class IndexStore:
                      .parquet(os.path.join(self.path, "doclens")))
 
                 def w_docs():
+                    # TWO-level partitioning (host_bucket, doc_bucket):
+                    # site-filtered queries prune the docs dimension to
+                    # the queried host's 1/n_buckets slice instead of
+                    # scanning the corpus-sized (doc_id, host) projection
+                    # — the physical realization of SURVEY §2.2 T9's
+                    # partition-pruning mapping. Point lookups still
+                    # prune on doc_bucket (second level).
+                    host_bucket = F.pmod(F.xxhash64(F.col("host")),
+                                         F.lit(self.n_buckets)).cast("int")
                     (prepared.select("doc_id", "url", "url_norm", "host",
                                      "path", "text", "lang")
                      .withColumn("doc_bucket", doc_bucket)
+                     .withColumn("host_bucket", host_bucket)
                      .repartition(self.n_buckets, F.col("doc_bucket"))
-                     .write.mode("overwrite").partitionBy("doc_bucket")
+                     .write.mode("overwrite")
+                     .partitionBy("host_bucket", "doc_bucket")
                      .parquet(os.path.join(self.path, "docs")))
 
                 def agg_host():
@@ -226,6 +272,7 @@ class IndexStore:
                     # |hosts|·|vocab| rows. At 10^12 docs a doc→host map
                     # no longer broadcasts — carry host through the
                     # postings shuffle (one extra column) instead.
+
                     rows = (postings
                             .join(F.broadcast(
                                 prepared.select("doc_id", "host")), "doc_id")
@@ -235,6 +282,12 @@ class IndexStore:
                             .collect())
                     stats["per_host"] = {r["host"]: r["nd"] for r in rows}
                     stats["terms_by_host"] = {r["host"]: r["nt"] for r in rows}
+                    # ALL saved pages per host (dashboard "pages" — the
+                    # reference counts pageRepository rows, which include
+                    # zero-term docs that never enter the index)
+                    prows = prepared.groupBy("host").count().collect()
+                    stats["pages_per_host"] = {r["host"]: r["count"]
+                                               for r in prows}
 
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(4) as pool:
@@ -245,8 +298,10 @@ class IndexStore:
 
                 meta = {"n_docs": n_docs_total,
                         "n_docs_by_host": stats["per_host"],
+                        "n_pages_by_host": stats["pages_per_host"],
                         "gen": 0, "sum_dl": sum_dl, "n_dl": n_docs_total,
                         "n_terms_by_host": stats["terms_by_host"],
+                        "n_terms_total": n_terms_total,
                         "avgdl": float(avgdl_build),
                         # impact basis floor: max_imp bounds stay sound
                         # as long as queries correct by min_imp_basis
@@ -254,6 +309,7 @@ class IndexStore:
                         "min_imp_basis": float(avgdl_build),
                         "n_buckets": self.n_buckets,
                         "salt_threshold": self.salt_threshold,
+                        "format": FORMAT_VERSION,
                         "build_id": build_id}
                 with open(os.path.join(self.path, "meta.json"), "w") as f:
                     json.dump(meta, f)
@@ -376,13 +432,14 @@ class IndexStore:
                       col: str) -> dict:
         """Memoized per-term block-metadata summary used by the WAND
         planner: histogram of `col` (max_tf or max_imp → Σn postings,
-        value-descending) plus the term's gen-0 salt count. ONE
-        metadata-only Spark job per (term, bound-column) per store
-        generation — repeat queries plan with zero jobs. The parquet
-        scan projects only small metadata columns (binaries untouched)
-        and is bucket+term pruned. At 10^12 docs a stopword's histogram
-        still collects ≤ |distinct bound values| rows (bound values are
-        small ints / coarse floats), not one row per block."""
+        value-descending). ONE metadata-only Spark job per (term,
+        bound-column) per store generation — repeat queries plan with
+        zero jobs. The parquet scan projects only small metadata columns
+        (binaries untouched) and is bucket+term pruned. At 10^12 docs a
+        stopword's histogram still collects ≤ |distinct bound values|
+        rows (bound values are small ints / coarse floats), not one row
+        per block. Salt counts are NOT inferred here — the terms table
+        persists n_salt (build time truth)."""
         cache = getattr(self, "_block_summary_cache", None)
         if cache is None:
             cache = self._block_summary_cache = {}
@@ -394,15 +451,11 @@ class IndexStore:
                     .filter(F.col("bucket") == b)
                     .filter(F.col("term") == term)
                     .groupBy(col)
-                    .agg(F.sum("n").alias("pn"),
-                         F.max(F.when(F.col("gen") == 0, F.col("salt")))
-                         .alias("ms"))
+                    .agg(F.sum("n").alias("pn"))
                     .collect())
             hist = sorted(((r[col], int(r["pn"])) for r in rows
                            if r[col] is not None), key=lambda x: -x[0])
-            ms = max((r["ms"] for r in rows if r["ms"] is not None),
-                     default=0)
-            cache[key] = {"hist": hist, "n_salt0": int(ms) + 1}
+            cache[key] = {"hist": hist}
         return cache[key]
 
     def blocks(self, spark: SparkSession) -> DataFrame:

@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textprep import distinct_query_terms, query_words
+from ..functions.urlutils import site_name_py
 from .index_store import IndexStore
 from .present import build_result_url, hydrate_topk
 from .wand import site_topk, wand_topk
@@ -65,7 +66,10 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
         total = 0
     elif site:
         from .wand import live_docids
-        dhost = (store.docs(spark).select("doc_id", "host")
+        from ..functions.hashing import term_bucket
+        hb = term_bucket(site, store.n_buckets)
+        dhost = (store.docs(spark)
+                 .filter(F.col("host_bucket") == hb)  # partition pruning
                  .filter(F.col("host") == site).select("doc_id"))
         total = (live_docids(spark, store,
                              store.query_blocks(spark, q_terms))
@@ -103,7 +107,7 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
             continue
         data.append({
             "site": "",  # Q7 quirk
-            "siteName": r["host"].split(".")[0].capitalize(),
+            "siteName": site_name_py(r["host"]),  # UrlUtils.java:43-59
             "uri": build_result_url(f"https://{r['host']}", r["path"]),
             "title": r["title"],
             "snippet": r["snippet"],
@@ -114,23 +118,42 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
 
 def statistics_service(spark: SparkSession, store: IndexStore) -> dict:
     """GET /api/statistics equivalent (A6,
-    StatisticsServiceImpl.java:26-86)."""
+    StatisticsServiceImpl.java:26-86).
+
+    Served ENTIRELY from persisted state — meta.json counts plus the
+    lineage file's collapsed lifecycle (status / statusTime / lastError,
+    C3/C4) — zero Spark jobs and zero table scans per dashboard call
+    (the round-2 version re-scanned docs/ and counted terms/ each time).
+    Page counts are maintained exactly through the incremental path;
+    lemma counts refresh at build/compact (distinct-term counts are not
+    incrementally maintainable without per-host term sets — documented
+    staleness window between a reindex and the next compact)."""
+    import os as _os
+
+    from ..plans.checkpoint import Lineage
     meta = store.meta()
-    pages_by_host = {r["host"]: r["c"] for r in
-                     store.docs(spark).groupBy("host")
-                     .agg(F.count(F.lit(1)).alias("c")).collect()}
-    total_terms = store.terms(spark).count()
+    life = Lineage(_os.path.join(store.path, "lineage.jsonl")).summary()
+    # dashboard pages = ALL saved pages (the reference counts page rows,
+    # including zero-term docs that never enter the index)
+    pages_by_host = {h: int(n)
+                     for h, n in meta.get(
+                         "n_pages_by_host",
+                         meta.get("n_docs_by_host", {})).items()
+                     if int(n) > 0}
     return {
         "result": True,
         "statistics": {
             "total": {"sites": len(pages_by_host),
                       "pages": int(sum(pages_by_host.values())),
-                      "lemmas": int(total_terms),
-                      "indexing": False},
+                      "lemmas": int(meta.get("n_terms_total", 0)),
+                      "indexing": life["status"] == "INDEXING"},
             "detailed": [
-                {"url": f"https://{h}", "name": h.split(".")[0].capitalize(),
-                 "status": "INDEXED", "pages": int(c),
-                 "lemmas": int(meta["n_terms_by_host"].get(h, 0))}
+                {"url": f"https://{h}", "name": site_name_py(h),
+                 "status": life["status"],
+                 "statusTime": life["status_time"],
+                 "lastError": life["last_error"],
+                 "pages": int(c),
+                 "lemmas": int(meta.get("n_terms_by_host", {}).get(h, 0))}
                 for h, c in sorted(pages_by_host.items())
             ],
         },

@@ -130,9 +130,17 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     `centroids`: pass the persisted (cell, centroid) table (build_ivf)
     — the scale path. When None, centroids are computed inline (only
     acceptable for ad-hoc exploration; the plan then posexplodes the
-    full table). Deterministic given the cell assignment; recall
-    measured in tests against cosine_topk."""
+    full table — a loud warning is emitted so the IVF-defeating path
+    can't be hit silently). Deterministic given the cell assignment;
+    recall measured in tests against cosine_topk."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    if centroids is None:
+        import logging
+        logging.getLogger(__name__).warning(
+            "ivf_topk: no persisted centroids supplied — computing them "
+            "inline posexplodes the FULL embedding table per query, which "
+            "defeats IVF; use build_ivf + ivf_query for anything beyond "
+            "ad-hoc exploration")
     cents = (centroids if centroids is not None
              else ivf_centroids(emb, cell_col, vec_col))
     probed = (cents.select(

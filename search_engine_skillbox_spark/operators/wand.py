@@ -141,10 +141,12 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
       1. N(site) comes from the per-host doc counts persisted at build
          time (meta.json n_docs_by_host) — zero jobs.
       2. Candidates = decoded postings of the query terms only
-         (partition-pruned blocks scan), inner-joined to the
-         (doc_id, host) column-pruned projection of docs/ filtered to
-         the host. Cost is bounded by Σ df of the query terms — the
-         same bound as the global path — never by corpus or site size.
+         (partition-pruned blocks scan), inner-joined to the doc_ids of
+         the host — read from docs/ with host_bucket PARTITION PRUNING
+         (docs/ is partitioned by (host_bucket, doc_bucket)), then a
+         pushed host filter inside the 1/n_buckets slice. Candidate
+         cost is bounded by Σ df of the query terms; the dimension side
+         by the host-bucket slice, never the whole corpus.
       3. Within-site df per term = countDistinct(doc) over those
          candidates (the reference's countDocsByLemmaAndSite).
       4. idf from (df_site, N_site); OR-sum score; exact top-k.
@@ -164,8 +166,12 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
     if not present:
         return spark.createDataFrame([], empty)
 
-    dhost = (store.docs(spark).select("doc_id", "host")
-             .filter(F.col("host") == host).select("doc_id"))
+    from ..functions.hashing import term_bucket
+    hb = term_bucket(host, store.n_buckets)  # driver-side, zero jobs
+    dhost = (store.docs(spark)
+             .filter(F.col("host_bucket") == hb)  # partition pruning
+             .filter(F.col("host") == host)
+             .select("doc_id"))
     qblocks = store.query_blocks(spark, present)
     cand = live_postings(spark, store, qblocks).join(dhost, "doc_id").persist()
     try:
@@ -261,8 +267,12 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         return spark.createDataFrame([], "doc_id long, score double")
     meta = store.meta()
     n_docs = meta["n_docs"]
-    tstats = {r["term"]: (r["df"], r["max_tf"])
-              for r in store.query_terms_rows(spark, q_terms)}
+    trows = store.query_terms_rows(spark, q_terms)
+    tstats = {r["term"]: (r["df"], r["max_tf"]) for r in trows}
+    # persisted gen-0 salt modulus (build-time truth; never inferred
+    # from observed block metadata, which under-counts when a heavy
+    # term's top salt bucket happens to be empty)
+    n_salt0 = {r["term"]: int(r["n_salt"]) for r in trows}
     present = [t for t in q_terms if t in tstats]
     if not present:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -399,12 +409,11 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
             lk_ids = F.broadcast(lk.select("doc_id"))
             # a candidate's posting for a lookup term lives in exactly one
             # gen-0 (salt, block): salt = pmod(xxhash64(doc), n_salt) with
-            # n_salt recovered from the block metadata (max salt + 1);
+            # n_salt read from the terms table (persisted at build);
             # incremental appends (gen > 0) always use salt 0 → matched by
             # range alone. Decode ONLY blocks whose [first_doc, last_doc]
             # covers a candidate in the right salt.
-            ns = {t: store.block_summary(spark, t, bcol)["n_salt0"]
-                  for t in non_ess}
+            ns = {t: n_salt0[t] for t in non_ess}
             parts = [lk.select("doc_id", F.col("partial").alias("contrib"))]
             for t in non_ess:
                 cs = lk.select(

@@ -70,6 +70,35 @@ class Lineage:
                       "finished_at": time.time(), "rows": rows,
                       "bytes": nbytes})
 
+    def summary(self) -> dict:
+        """Collapse lineage rows into the reference's site-status shape
+        (SiteEntity status/statusTime/lastError, C3/C4;
+        StatisticsServiceImpl.java:43-86): the LATEST row per
+        (build_id, partition_id) wins (a successful retry clears an
+        earlier FAILED); any terminal FAILED → FAILED + lastError, else
+        any still-RUNNING partition → INDEXING, else INDEXED. Driver-
+        side file read — no Spark jobs."""
+        rows = self.load()
+        if not rows:
+            return {"status": "INDEXED", "status_time": None,
+                    "last_error": None}
+        last: dict[tuple, dict] = {}
+        for r in rows:  # file order IS append order
+            last[(r["build_id"], r["partition_id"])] = r
+        failed = [r for r in last.values() if r["status"] == "FAILED"]
+        running = [r for r in last.values() if r["status"] == "RUNNING"]
+        if failed:
+            worst = max(failed, key=lambda r: r.get("finished_at") or 0)
+            status, err = "FAILED", worst.get("error")
+        elif running:
+            status, err = "INDEXING", None
+        else:
+            status, err = "INDEXED", None
+        t = max((r.get("finished_at") or r.get("started_at") or 0)
+                for r in last.values())
+        return {"status": status, "status_time": t or None,
+                "last_error": err}
+
     def failed(self, build_id: str, partition_id: str, started_at: float,
                error: str) -> None:
         # mirrors the reference's FAILED(lastError) status

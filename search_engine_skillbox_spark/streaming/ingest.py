@@ -12,13 +12,18 @@ dictionaries exactly (operators/incremental.py).
 foreachBatch (not a stateful sink) is the right shape here: the work is
 a deterministic batch MERGE against an external store, and the
 checkpointed batch-id gives end-to-end exactly-once on retries provided
-the ingest is idempotent per batch — which generational appends make
-true up to re-running the SAME batch (same gen reappends; tombstones
-make the duplicate harmless only after the next gen — documented
-limitation vs an Iceberg transactional sink).
+the ingest is idempotent per batch. That idempotence is real: each
+micro-batch carries idem_key = (stream checkpoint id, batch_id) into
+reindex_batch, which commits the batch id in the same meta write as the
+generation bump — a replayed committed batch is an exact no-op, and a
+replay of a PARTIALLY applied batch skips lineage-DONE steps (no
+double block appends / dictionary deltas; residual meta drift is
+check_consistency/compact territory — see reindex_batch docstring).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import SparkSession
 
@@ -38,11 +43,13 @@ def stream_pages(spark: SparkSession, store: IndexStore, input_dir: str,
            .parquet(input_dir))
 
     stats: list[dict] = []
+    stream_id = os.path.basename(os.path.normpath(checkpoint_dir))
 
     def _fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        stats.append(reindex_batch(spark, store, batch_df))
+        stats.append(reindex_batch(spark, store, batch_df,
+                                   idem_key=(stream_id, int(batch_id))))
 
     q = (src.writeStream.foreachBatch(_fold)
          .option("checkpointLocation", checkpoint_dir)

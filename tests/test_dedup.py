@@ -35,6 +35,12 @@ def test_exact_dedup_md5_key(spark):
     assert kept == [1, 3]
 
 
+def _await_drop_log(caplog):
+    """Drops are logged synchronously when the capped frame is BUILT
+    (the shared-pass count), i.e. already by the time the caller's
+    action runs."""
+    return any("dropped" in r.message for r in caplog.records)
+
 def test_ngram_shingle_df_cap(spark, boiler_docs, caplog):
     """Boilerplate shingles (df == N) dominate the uncapped join; with
     the cap only each doc's unique-tail shingles remain → no pairs."""
@@ -45,8 +51,8 @@ def test_ngram_shingle_df_cap(spark, boiler_docs, caplog):
         capped = D.ngram_jaccard_pairs(boiler_docs, k=3, threshold=0.5,
                                        max_shingle_df=5)
         n = capped.count()
+        assert _await_drop_log(caplog)  # logged (async, same-job observation)
     assert n == 0
-    assert any("dropping" in r.message for r in caplog.records)  # logged
 
 
 def test_lsh_max_bucket(spark, boiler_docs, caplog):
@@ -60,9 +66,9 @@ def test_lsh_max_bucket(spark, boiler_docs, caplog):
         capped = D.minhash_lsh_pairs(boiler_docs, m=16, bands=4,
                                      threshold=0.0, max_bucket=10)
         n_cap = capped.count()
+        assert _await_drop_log(caplog)  # logged (async, same-job observation)
     # any surviving bucket has ≤ 10 members → ≤ 4 bands · C(10,2) pairs
     assert n_cap <= 4 * 45 < n_unc
-    assert any("dropping" in r.message for r in caplog.records)
 
 
 def test_simhash_max_bucket(spark, boiler_docs):

@@ -176,3 +176,117 @@ def test_compact_preserves_state(spark, store):
     gens = [r["gen"] for r in
             store.blocks(spark).select("gen").distinct().collect()]
     assert gens == [0]
+
+
+def _plain_bm25_topk(spark, st, q_terms, k):
+    """Exhaustive BM25 over live postings — the oracle for the pruned
+    path on a store containing incrementally appended blocks."""
+    import collections
+
+    from search_engine_skillbox_spark.operators import score as S
+    meta = st.meta()
+    n, avgdl = meta["n_docs"], meta["avgdl"]
+    df = {r["term"]: r["df"] for r in st.terms(spark).collect()}
+    sc: dict = collections.defaultdict(float)
+    for r in live_postings(spark, st, st.blocks(spark)).collect():
+        if r["term"] not in q_terms:
+            continue
+        idf = S.idf_bm25_py(df[r["term"]], n)
+        tf, dl = r["tf"], r["dl"]
+        w = (tf * (S.K1_DEFAULT + 1.0)
+             / (tf + S.K1_DEFAULT
+                * (1.0 - S.B_DEFAULT + S.B_DEFAULT * dl / avgdl)))
+        sc[r["doc_id"]] += w * idf
+    return sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_bm25_wand_after_reindex(spark, store):
+    """ADVICE r2: bm25-mode wand_topk against a store with incrementally
+    APPENDED blocks — the path that needs max_imp to survive the append
+    (schema parity) and the NULL-bound prune guard."""
+    reindex_page(spark, store, NEW_PAGE)
+    reindex_page(spark, store, BRAND_NEW)
+
+    # appended (gen > 0) blocks carry the full gen-0 schema incl. max_imp
+    from pyspark.sql import functions as F
+    appended = store.blocks(spark).filter(F.col("gen") > 0)
+    assert appended.count() > 0
+    assert appended.filter(F.col("max_imp").isNull()).count() == 0
+
+    for q in (["zanzibar"], ["xylophone"], ["zanzibar", "the"],
+              ["fresh", "unique", "words"]):
+        got = [(r["doc_id"], r["score"])
+               for r in wand_topk(spark, store, q, 10, mode="bm25").collect()]
+        want = _plain_bm25_topk(spark, store, q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-9, q
+
+
+def test_bm25_wand_after_reindex_batch(spark, store):
+    """Same parity through the BULK append path (reindex_batch) that
+    streaming ingest uses."""
+    from search_engine_skillbox_spark.operators.incremental import (
+        reindex_batch)
+    from search_engine_skillbox_spark.sources import corpus as C
+    batch = (C.pages_df(spark, 30, seed=7, partitions=1)
+             .where("warc_ts >= timestamp'2024-01-01 00:10:00'"))
+    reindex_batch(spark, store, batch)
+    from pyspark.sql import functions as F
+    appended = store.blocks(spark).filter(F.col("gen") > 0)
+    assert appended.filter(F.col("max_imp").isNull()).count() == 0
+    for q in (["the"], ["merge", "join"]):
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in wand_topk(spark, store, q, 10, mode="bm25").collect()]
+        want = [(d, round(s, 9)) for d, s in
+                _plain_bm25_topk(spark, store, q, 10)]
+        assert [g[0] for g in got] == [w[0] for w in want], q
+
+
+def test_statistics_from_lineage_and_meta(spark, store):
+    """VERDICT r2 #5: the dashboard reads persisted meta + lineage —
+    ZERO Spark jobs (proved by passing spark=None) — and surfaces a
+    FAILED lineage row's status + lastError."""
+    import os
+
+    from search_engine_skillbox_spark.operators.service import (
+        statistics_service)
+    from search_engine_skillbox_spark.plans.checkpoint import Lineage
+
+    stats = statistics_service(None, store)  # None ⇒ no scan possible
+    total = stats["statistics"]["total"]
+    assert total["pages"] > 0 and total["lemmas"] > 0
+    assert total["indexing"] is False
+    assert all(d["status"] == "INDEXED"
+               for d in stats["statistics"]["detailed"])
+
+    lin = Lineage(os.path.join(store.path, "lineage.jsonl"))
+    t0 = lin.start("incr-g99", "blocks")
+    lin.failed("incr-g99", "blocks", t0, "synthetic: disk full")
+    stats = statistics_service(None, store)
+    det = stats["statistics"]["detailed"]
+    assert all(d["status"] == "FAILED" for d in det)
+    assert all(d["lastError"] == "synthetic: disk full" for d in det)
+    # a successful retry of the same step clears the failure
+    t1 = lin.start("incr-g99", "blocks")
+    lin.done("incr-g99", "blocks", t1, rows=0, nbytes=0)
+    stats = statistics_service(None, store)
+    assert all(d["status"] == "INDEXED"
+               for d in stats["statistics"]["detailed"])
+
+
+def test_delete_last_doc_of_partition_clears_row(spark, store):
+    """The direct partition overwrite must CLEAR a docs/ partition whose
+    last doc is deleted (dynamic overwrite can't) — otherwise a later
+    re-add of the same url double-decrements the dictionaries."""
+    from pyspark.sql import functions as F
+    res = reindex_page(spark, store, BRAND_NEW)
+    d = res["doc_id"]
+    delete_page(spark, store, BRAND_NEW["url"])
+    assert (store.docs(spark).filter(F.col("doc_id") == d).count() == 0)
+    # re-add after delete: dictionaries must come back exact
+    reindex_page(spark, store, BRAND_NEW)
+    from search_engine_skillbox_spark.operators.incremental import (
+        check_consistency)
+    rep = check_consistency(spark, store)
+    assert rep["consistent"], rep

@@ -109,3 +109,31 @@ def test_hydrate_topk_plumbing(spark):
     assert r1["site"] == ""            # Q7 quirk
     assert abs(r1["relevance"] - 2.5) < 1e-6
     assert out["https://a.test/2"]["title"] == "/2"  # blank text → path
+
+
+def test_site_name_rule(spark):
+    """UrlUtils.java:43-59 byte-identity: first char uppercased, REST
+    UNCHANGED (NOT str.capitalize()), "Unknown" on malformed hosts —
+    the one rule, used by BOTH the column fn and the service
+    presentation path (VERDICT r2 #4: no duplicated divergent copies)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_skillbox_spark.functions.urlutils import (
+        site_name, site_name_py)
+
+    cases = [
+        ("MySite.example.com", "MySite"),   # mixed case preserved
+        ("camelCase.org", "CamelCase"),
+        ("plain.test", "Plain"),
+        ("", "Unknown"),                    # malformed: empty host
+        (None, "Unknown"),
+        (".leading-dot.test", "Unknown"),   # malformed: empty first label
+    ]
+    for host, want in cases:
+        assert site_name_py(host) == want, host
+
+    urls = [(f"https://{h}/x",) for h, _ in cases if h]
+    got = [r["s"] for r in
+           spark.createDataFrame(urls, "url string")
+           .select(site_name(F.col("url")).alias("s")).collect()]
+    assert got == [w for h, w in cases if h]

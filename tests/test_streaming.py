@@ -49,3 +49,35 @@ def test_stream_ingest_equals_batch(spark, tmp_path):
     m1, m2 = st.meta(), st2.meta()
     assert m1["n_docs"] == m2["n_docs"]
     assert abs(m1["avgdl"] - m2["avgdl"]) < 1e-9
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    """A foreachBatch retry re-delivers the SAME batch_id; with the
+    committed idem_key the replay must not change index state (round-2
+    documented gap, now closed)."""
+    from search_engine_skillbox_spark.operators.incremental import (
+        reindex_batch)
+    first = C.pages_df(spark, 80, partitions=2)
+    st = IndexStore(str(tmp_path / "ridx"), n_buckets=8, salt_threshold=100)
+    st.build(spark, prepare_pages(first), checkpoint_groups=1)
+
+    batch = (C.pages_df(spark, 100, seed=5, partitions=1)
+             .where("warc_ts >= timestamp'2024-01-01 00:30:00'"))
+    r1 = reindex_batch(spark, st, batch, idem_key=("ckpt-a", 0))
+    flat1 = _flat(spark, st)
+    meta1 = st.meta()
+
+    r2 = reindex_batch(spark, st, batch, idem_key=("ckpt-a", 0))  # replay
+    assert r2.get("replayed") is True
+    assert r2["batch_docs"] == r1["batch_docs"]
+    assert _flat(spark, st) == flat1
+    meta2 = st.meta()
+    assert meta2["gen"] == meta1["gen"]
+    assert meta2["n_docs"] == meta1["n_docs"]
+
+    # a LATER batch id on the same stream still applies
+    batch2 = (C.pages_df(spark, 120, seed=6, partitions=1)
+              .where("warc_ts >= timestamp'2024-01-01 01:40:00'"))
+    r3 = reindex_batch(spark, st, batch2, idem_key=("ckpt-a", 1))
+    assert not r3.get("replayed")
+    assert st.meta()["gen"] == meta1["gen"] + 1
