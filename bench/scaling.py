@@ -122,16 +122,21 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="scale_")
     corpus = os.path.join(tmp, "corpus")
 
-    # untimed deterministic corpus generation (same input for both levels)
-    from pyspark.sql import SparkSession
-
-    from search_engine_skillbox_spark.sources.corpus import pages_df
-    spark = (SparkSession.builder.master("local[32]")
-             .config("spark.ui.enabled", "false")
-             .config("spark.driver.memory", "24g").getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
-    pages_df(spark, DOCS, partitions=max(128, DOCS // 8000)).write.parquet(corpus)
-    spark.stop()
+    # untimed deterministic corpus generation (same input for both
+    # levels) — in a SUBPROCESS, so the generator JVM has fully exited
+    # before any timed build starts (an in-process SparkSession.stop()
+    # leaves the py4j JVM idling in this harness for its lifetime)
+    gen = subprocess.run(
+        ["spark-submit", "--master", "local[32]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.driver.memory=24g",
+         "--py-files", os.path.join(REPO, "engine.zip"),
+         os.path.join(REPO, "jobs/gen_corpus.py"),
+         "--docs", str(DOCS), "--output", corpus],
+        capture_output=True, text=True, timeout=3600)
+    if not os.path.isdir(corpus):
+        sys.stderr.write(gen.stdout[-2000:] + gen.stderr[-4000:])
+        raise RuntimeError("corpus generation failed")
 
     results = {}
     for cpus in LEVELS:

@@ -53,6 +53,54 @@ def postings_flat(docs: DataFrame, doc_col: str = "doc_id",
     )
 
 
+def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, dl) in ONE Arrow pass — tokenize AND per-doc
+    tf aggregation inside the Python kernel (PY_TOKEN_SPLIT, the
+    byte-identical twin of the JVM `\\P{L}+` tokenizer; twin equality is
+    pinned by the streaming≡batch test and the index_block_roundtrip /
+    search_wand_topk gate rows, which verify blocks built THROUGH this
+    path against a DuckDB recompute).
+
+    Why it exists: all terms of a doc live in its own input row, so tf
+    needs no (doc_id, term) exchange at all — this is a NARROW
+    transformation. It replaces the two widest shuffles of the physical
+    build: the explode→groupBy(doc,term) exchange (~Σdl rows) and the
+    doc-keyed doclens join that round 2 added to carry dl into every
+    posting for join-free BM25 (dl now rides out of the same kernel).
+    The logical/oracle path (postings_flat) stays JVM-side built-ins.
+    """
+    import pandas as pd
+
+    def _gen(batches):
+        from collections import Counter
+
+        from ..functions.textprep import PY_TOKEN_SPLIT
+        for pdf in batches:
+            ids: list = []
+            terms: list = []
+            tfs: list = []
+            dls: list = []
+            for doc_id, text in zip(pdf[doc_col], pdf[text_col]):
+                c = Counter(t for t in
+                            PY_TOKEN_SPLIT.split((text or "").lower()) if t)
+                if not c:
+                    continue
+                dl = sum(c.values())
+                ids.extend([doc_id] * len(c))
+                dls.extend([dl] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "term": pd.Series(terms, dtype="object"),
+                                "tf": pd.Series(tfs, dtype="int64"),
+                                "dl": pd.Series(dls, dtype="int64")})
+
+    return docs.select(F.col(doc_col).alias(doc_col),
+                       F.col(text_col).alias(text_col)).mapInPandas(
+        _gen, "doc_id long, term string, tf long, dl long")
+
+
 def doc_lengths(docs: DataFrame, doc_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, dl) token count per doc — needed by BM25 length norm."""

@@ -141,17 +141,31 @@ class IndexStore:
 
     def build(self, spark: SparkSession, prepared: DataFrame,
               build_id: str = "b0", checkpoint_groups: int = 4,
-              fail_after_group: int | None = None) -> dict:
+              fail_after_group: int | None = None,
+              fused: bool = True) -> dict:
         """prepared: output of sources.pages.prepare_pages.
 
         checkpoint_groups: number of sequential bucket groups, each one
         an atomic resume unit with a lineage row. fail_after_group is a
         test hook to simulate a crash mid-build.
+
+        fused=True tokenizes + tf-aggregates in one Arrow kernel
+        (build.postings_flat_fused): postings are born WITH dl, so the
+        (doc,term) groupBy exchange and the doc-keyed doclens join both
+        disappear from the plan. fused=False keeps the JVM explode →
+        groupBy → doclens-join dataflow (A/B + oracle-shaped twin).
         """
         lineage = Lineage(os.path.join(self.path, "lineage.jsonl"))
         done = lineage.done_partitions(build_id)
 
-        postings = build_index_frames(prepared)[0].persist()
+        if fused:
+            from .build import postings_flat_fused
+            postings = postings_flat_fused(prepared).persist()
+        else:
+            p = build_index_frames(prepared)[0]
+            dls = p.groupBy("doc_id").agg(
+                F.sum("tf").cast("long").alias("dl"))
+            postings = p.join(dls, "doc_id").persist()
         bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets))
         # ONE terms aggregation carrying df+cf+max_tf together (round 1
         # ran a (df,cf) agg plus a separate max_tf agg plus a join — two
@@ -180,13 +194,14 @@ class IndexStore:
         t_mat = lineage.start(build_id, "materialize")
         n_terms_total = terms_full.count()  # also the dashboard lemma count
         lineage.done(build_id, "materialize", t_mat, rows=0, nbytes=0)
-        # dl = Σ tf from postings — avoids re-tokenizing the whole corpus;
-        # zero-term docs have no postings and BM25 never weights them.
-        # Materialized HERE (before the dims/blocks threads fork): every
-        # block group joins it into the encode input, and concurrent
-        # readers of an unmaterialized persist compute it once each.
+        # dl already rides on every posting row — the doclens dimension
+        # is a cheap per-doc max over the cache (map-side combine; docs
+        # never span input partitions). Zero-term docs have no postings
+        # and BM25 never weights them. Materialized HERE (before the
+        # dims/blocks threads fork): concurrent readers of an
+        # unmaterialized persist compute it once each.
         doclens = postings.groupBy("doc_id").agg(
-            F.sum("tf").cast("int").alias("dl")).persist()
+            F.max("dl").cast("int").alias("dl")).persist()
         # N / Σdl / avgdl pre-fork: doclens has one row per participating
         # doc, so this is a doc-count-sized agg that also fills the
         # doclens cache; avgdl is the impact basis the block encoder
@@ -201,12 +216,10 @@ class IndexStore:
         # salted skew handling: few heavy terms → broadcast their salt
         # counts (the same n_salt the terms table persists)
         heavy = terms_full.filter(F.col("n_salt") > 1).select("term", "n_salt")
-        # dl joins ONTO the postings here (doc-keyed shuffle join) so the
-        # encoder can store it per posting: one extra exchange at build
-        # buys join-free BM25 at query time (a 10^12-row doclens join per
-        # query otherwise).
+        # dl is already ON the postings (fused kernel) — no doc-keyed
+        # shuffle join needed to store it per posting; the encoder input
+        # goes straight to the single (term, salt) exchange.
         salted = (postings.join(F.broadcast(heavy), "term", "left")
-                  .join(doclens, "doc_id")
                   .withColumn(
                       "salt",
                       F.when(F.col("n_salt").isNull(), F.lit(0)).otherwise(
