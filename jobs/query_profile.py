@@ -44,12 +44,13 @@ def main() -> None:
     def timed(name: str, q: list[str], mode: str) -> dict:
         group = f"{name}-{mode}-{time.time()}"
         sc.setJobGroup(group, name)
+        dbg: dict = {}
         t0 = time.time()
-        wand_topk(spark, store, q, args.k, mode).collect()
+        wand_topk(spark, store, q, args.k, mode, debug=dbg).collect()
         dt = time.time() - t0
         jobs = len(sc.statusTracker().getJobIdsForGroup(group))
         sc.setJobGroup("", "")
-        return {"sec": round(dt, 3), "jobs": jobs}
+        return {"sec": round(dt, 3), "jobs": jobs, "phases": dbg}
 
     out = {"terms": {"rare": rare, "mid": mid, "heavy": heavy},
            "df": {r["term"]: r["df"] for r in (by_df[0], by_df[len(by_df) // 2],

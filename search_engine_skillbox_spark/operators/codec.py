@@ -76,7 +76,8 @@ from .score import B_DEFAULT, K1_DEFAULT  # single source for BM25 params
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
                     dls: np.ndarray | None = None,
-                    avgdl: float | None = None):
+                    avgdl: float | None = None,
+                    start_id: int = 0):
     """Split one (term[, salt]) posting run into encoded blocks.
 
     doc_ids must be sorted ascending (sortWithinPartitions guarantees it).
@@ -98,12 +99,16 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
     a plain parquet comparison. The basis is recorded store-wide
     (meta min_imp_basis) so drifted avgdl stays a sound bound.
 
+    start_id: first block_id to assign — lets a caller encode one run
+    as several consecutive segments (impact tiers) with unique ids.
+
     Yields dicts: block_id, n, max_tf, first_doc, last_doc, docs, tfs,
     dls, max_imp (dls/max_imp None when dls not provided).
     """
     doc_ids = np.asarray(doc_ids, np.int64)
     tfs = np.asarray(tfs, np.int64)
-    for bid, off in enumerate(range(0, doc_ids.size, BLOCK_SIZE)):
+    for bid, off in enumerate(range(0, doc_ids.size, BLOCK_SIZE),
+                              start=start_id):
         d = doc_ids[off:off + BLOCK_SIZE]
         t = tfs[off:off + BLOCK_SIZE]
         deltas = np.empty(d.size, np.uint64)

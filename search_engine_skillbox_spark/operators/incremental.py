@@ -110,7 +110,7 @@ def _append_blocks(spark: SparkSession, store: IndexStore,
         for blk in encode_postings(np.array([doc_id], np.int64),
                                    np.array([tf], np.int64),
                                    np.array([dl], np.int64), avgdl):
-            rows.append(Row(term=term, salt=0, gen=gen,
+            rows.append(Row(term=term, salt=0, tier=0, gen=gen,
                             bucket=term_bucket(term, store.n_buckets),
                             **blk))
     if not rows:
@@ -122,10 +122,12 @@ def _append_blocks(spark: SparkSession, store: IndexStore,
     # schema: inference would fail on an all-None max_imp (avgdl=0 store).
     df = spark.createDataFrame(
         rows,
-        "term string, salt int, gen int, bucket int, block_id long, "
-        "n long, max_tf long, first_doc long, last_doc long, "
-        "docs binary, tfs binary, dls binary, max_imp double").select(
+        "term string, salt int, tier int, gen int, bucket int, "
+        "block_id long, n long, max_tf long, first_doc long, "
+        "last_doc long, docs binary, tfs binary, dls binary, "
+        "max_imp double").select(
         "term", F.col("salt").cast("int").alias("salt"),
+        F.col("tier").cast("int").alias("tier"),
         F.col("block_id").cast("int").alias("block_id"),
         F.col("n").cast("int").alias("n"),
         F.col("max_tf").cast("int").alias("max_tf"),

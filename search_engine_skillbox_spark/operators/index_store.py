@@ -42,24 +42,44 @@ from ..plans.checkpoint import Lineage
 from .build import build_index_frames
 from .codec import encode_postings
 
-BLOCKS_SCHEMA = ("term string, salt int, block_id int, n int, max_tf int, "
-                 "first_doc long, last_doc long, docs binary, tfs binary, "
-                 "dls binary, max_imp double")
+BLOCKS_SCHEMA = ("term string, salt int, tier int, block_id int, n int, "
+                 "max_tf int, first_doc long, last_doc long, docs binary, "
+                 "tfs binary, dls binary, max_imp double")
 
 # On-disk store format. 3 = per-posting dls + per-block max_imp in the
 # block files, n_salt persisted in the terms table, docs/ partitioned by
-# (host_bucket, doc_bucket). Bumped whenever a reader of the current
-# code would fail or silently degrade on an older layout.
-FORMAT_VERSION = 3
+# (host_bucket, doc_bucket). 4 = impact-tier column on blocks (tier 0 =
+# hot segment, the WAND seed set) + (term, tier, bound-desc)-sorted
+# bucket files with small row groups. Bumped whenever a reader of the
+# current code would fail or silently degrade on an older layout.
+FORMAT_VERSION = 4
 
 
-def make_block_encoder(avgdl: float | None):
+TIER0_POSTINGS = 2048  # per-(term,salt) hot-tier size (≥ 16 blocks)
+
+
+def make_block_encoder(avgdl: float | None,
+                       tier0: int = TIER0_POSTINGS):
     """mapInPandas encoder over (term, salt, doc_id, tf, dl) sorted
     within partition by (term, salt, doc_id): stream-groups rows (a
     group may span Arrow batches — carried, never materialized beyond
     one salt run). dl rides along per posting so BM25 queries never
     join the doclens table; avgdl is the impact basis for the per-block
-    max_imp bound (codec.encode_postings)."""
+    max_imp bound (codec.encode_postings).
+
+    IMPACT TIERING: a long run (> 2·tier0 postings) is split into a HOT
+    segment — the tier0 postings with the highest (tf, doc_id) — and
+    the COLD rest, each re-sorted by doc_id and encoded as its own
+    consecutive blocks. On hash-ordered blocks every 128-doc block of a
+    stopword contains a near-max tf, so per-block bounds prune nothing
+    and a single-stopword query decodes the whole list; with tiering
+    the cold blocks' max_tf/max_imp is capped by the tier boundary, so
+    the block-max predicate prunes them wholesale once θ exceeds the
+    boundary impact — the query decodes ~tier0 postings per salt
+    instead of the full run. Exactness is untouched (blocks are still
+    just a partition of the run with per-block bounds); doc-ordered
+    encoding within each tier keeps delta compression and the
+    [first_doc, last_doc] range lookups valid per tier."""
     def _encode_partition(batches):
         carry_key: tuple | None = None
         ids_buf: list[np.ndarray] = []
@@ -74,9 +94,25 @@ def make_block_encoder(avgdl: float | None):
             ids = np.concatenate(ids_buf)
             tfs = np.concatenate(tfs_buf)
             dls = np.concatenate(dls_buf)
-            for blk in encode_postings(ids, tfs, dls, avgdl):
-                out.append({"term": carry_key[0],
-                            "salt": int(carry_key[1]), **blk})
+            if ids.size > 2 * tier0:
+                # hot = top-tier0 by (tf desc, doc asc), deterministic;
+                # np.sort restores doc order inside each tier (input is
+                # doc-sorted, so positions ARE doc order)
+                order = np.lexsort((ids, -tfs))
+                hot = np.sort(order[:tier0])
+                cold = np.sort(order[tier0:])
+                segments = ((0, ids[hot], tfs[hot], dls[hot]),
+                            (1, ids[cold], tfs[cold], dls[cold]))
+            else:
+                segments = ((0, ids, tfs, dls),)
+            next_id = 0
+            for tier, s_ids, s_tfs, s_dls in segments:
+                for blk in encode_postings(s_ids, s_tfs, s_dls, avgdl,
+                                           start_id=next_id):
+                    out.append({"term": carry_key[0],
+                                "salt": int(carry_key[1]),
+                                "tier": tier, **blk})
+                    next_id = blk["block_id"] + 1
             ids_buf, tfs_buf, dls_buf = [], [], []
 
         for pdf in batches:
@@ -100,11 +136,11 @@ def make_block_encoder(avgdl: float | None):
             yield pd.DataFrame(
                 {c: pd.Series(dtype=d) for c, d in [
                     ("term", "object"), ("salt", "int32"),
-                    ("block_id", "int32"), ("n", "int32"),
-                    ("max_tf", "int32"), ("first_doc", "int64"),
-                    ("last_doc", "int64"), ("docs", "object"),
-                    ("tfs", "object"), ("dls", "object"),
-                    ("max_imp", "float64")]})
+                    ("tier", "int32"), ("block_id", "int32"),
+                    ("n", "int32"), ("max_tf", "int32"),
+                    ("first_doc", "int64"), ("last_doc", "int64"),
+                    ("docs", "object"), ("tfs", "object"),
+                    ("dls", "object"), ("max_imp", "float64")]})
     return _encode_partition
 
 
@@ -354,10 +390,27 @@ class IndexStore:
                 target = os.path.join(self.path, "blocks")
                 # coalesce encoded (small, compressed) rows to one task
                 # per bucket: 32 output files instead of tasks×buckets,
-                # an order less driver-side commit work (A/B'd: wins)
+                # an order less driver-side commit work (A/B'd: wins).
+                # SORT by (term, impact desc) inside each bucket file +
+                # small parquet row groups: a query's term predicate
+                # skips to the row groups holding that term, and within
+                # a stopword-scale term the descending-bound order
+                # clusters every salt's HOT (impact-tier-0) blocks at
+                # the term's front — so the seed scan and the block-max
+                # prune scan each read ~1 row group via max_tf/max_imp
+                # row-group stats instead of the term's whole span (the
+                # unsorted layout was ONE 75 MB row group per bucket
+                # whose term span covered the entire dictionary: every
+                # query read the full bucket file, a ~1 s floor, and a
+                # stopword query re-read its 30 MB in every phase).
                 (part.repartition(len(buckets), F.col("bucket"))
+                 .sortWithinPartitions(
+                     "bucket", "term", "tier",
+                     F.desc_nulls_last("max_imp"), F.desc("max_tf"),
+                     "salt", "block_id")
                  .write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
+                 .option("parquet.block.size", 4 * 1024 * 1024)
                  .partitionBy("bucket").parquet(target))
                 if fail_after_group is not None and gi >= fail_after_group:
                     raise RuntimeError(
@@ -439,37 +492,6 @@ class IndexStore:
     def invalidate_reads(self) -> None:
         self._read_cache = {}
         self._terms_row_cache = {}
-        self._block_summary_cache = {}
-
-    def block_summary(self, spark: SparkSession, term: str,
-                      col: str) -> dict:
-        """Memoized per-term block-metadata summary used by the WAND
-        planner: histogram of `col` (max_tf or max_imp → Σn postings,
-        value-descending). ONE metadata-only Spark job per (term,
-        bound-column) per store generation — repeat queries plan with
-        zero jobs. The parquet scan projects only small metadata columns
-        (binaries untouched) and is bucket+term pruned. At 10^12 docs a
-        stopword's histogram still collects ≤ |distinct bound values|
-        rows (bound values are small ints / coarse floats), not one row
-        per block. Salt counts are NOT inferred here — the terms table
-        persists n_salt (build time truth)."""
-        cache = getattr(self, "_block_summary_cache", None)
-        if cache is None:
-            cache = self._block_summary_cache = {}
-        key = (term, col)
-        if key not in cache:
-            from ..functions.hashing import term_bucket
-            b = term_bucket(term, self.n_buckets)
-            rows = (self.blocks(spark)
-                    .filter(F.col("bucket") == b)
-                    .filter(F.col("term") == term)
-                    .groupBy(col)
-                    .agg(F.sum("n").alias("pn"))
-                    .collect())
-            hist = sorted(((r[col], int(r["pn"])) for r in rows
-                           if r[col] is not None), key=lambda x: -x[0])
-            cache[key] = {"hist": hist}
-        return cache[key]
 
     def blocks(self, spark: SparkSession) -> DataFrame:
         return self._cached(spark, "blocks")
@@ -494,6 +516,95 @@ class IndexStore:
         return (self.blocks(spark)
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("term").isin(q_terms)))
+
+    def lookup_postings_arrow(self, term: str,
+                              cand_salts: list[tuple[int, int]]):
+        """SERVING-TIER point lookup, driver-side: decode `term`'s
+        postings for the candidate docs WITHOUT a Spark job.
+
+        cand_salts: [(doc_id, gen0_salt_of_doc)] — a small set (the
+        MaxScore lookup candidates). The bucket file is term-sorted with
+        small row groups, so the parquet footer statistics locate the
+        term's row groups directly; metadata columns (ranges/salt/gen)
+        are read first and the binary posting columns are fetched only
+        for row groups that actually contain a covering block. This is
+        the physical shape of a point-read: a top-k serving layer does
+        these from an index node, not with a cluster scan — wand_topk
+        falls back to the distributed range join when tombstones exist
+        (lookup must see deletes) or the candidate set is large.
+
+        Returns (doc_ids, tfs, dls) numpy arrays of matching postings
+        (gen-0 blocks matched on salt+range, gen>0 on range alone),
+        restricted to candidate doc_ids."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ..functions.hashing import term_bucket
+        from .codec import decode_block
+        b = term_bucket(term, self.n_buckets)
+        bdir = os.path.join(self.path, "blocks", f"bucket={b}")
+        cand_all = np.sort(np.array([d for d, _ in cand_salts], np.int64))
+        by_salt: dict[int, np.ndarray] = {}
+        for d, s in cand_salts:
+            by_salt.setdefault(s, []).append(d)
+        by_salt = {s: np.sort(np.array(v, np.int64))
+                   for s, v in by_salt.items()}
+
+        def _covers(arr: np.ndarray, fd: int, ld: int) -> bool:
+            i = int(np.searchsorted(arr, fd, "left"))
+            return i < arr.size and int(arr[i]) <= ld
+
+        ids_out, tfs_out, dls_out = [], [], []
+        meta_cols = ["term", "salt", "gen", "first_doc", "last_doc"]
+        for fn in sorted(os.listdir(bdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(bdir, fn))
+            md = pf.metadata
+            tcol = next(i for i in range(md.num_columns)
+                        if md.schema.column(i).name == "term")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(tcol).statistics
+                if (st is not None and st.has_min_max
+                        and not (st.min <= term <= st.max)):
+                    continue
+                mtbl = pf.read_row_group(rg, columns=meta_cols)
+                terms_a = mtbl.column("term").to_pylist()
+                salts_a = mtbl.column("salt").to_pylist()
+                gens_a = mtbl.column("gen").to_pylist()
+                fds = mtbl.column("first_doc").to_pylist()
+                lds = mtbl.column("last_doc").to_pylist()
+                idxs = []
+                for i in range(len(terms_a)):
+                    if terms_a[i] != term:
+                        continue
+                    fd, ld = fds[i], lds[i]
+                    if gens_a[i] != 0:
+                        if _covers(cand_all, fd, ld):
+                            idxs.append(i)
+                    else:
+                        arr = by_salt.get(salts_a[i])
+                        if arr is not None and _covers(arr, fd, ld):
+                            idxs.append(i)
+                if not idxs:
+                    continue
+                btbl = pf.read_row_group(
+                    rg, columns=["docs", "tfs", "dls"]).take(idxs)
+                for j in range(len(idxs)):
+                    d, t, dl = decode_block(
+                        btbl.column("docs")[j].as_py(),
+                        btbl.column("tfs")[j].as_py(),
+                        btbl.column("dls")[j].as_py())
+                    keep = np.isin(d, cand_all, assume_unique=False)
+                    if keep.any():
+                        ids_out.append(d[keep])
+                        tfs_out.append(t[keep])
+                        dls_out.append(dl[keep])
+        if not ids_out:
+            empty = np.empty(0, np.int64)
+            return empty, empty, empty
+        return (np.concatenate(ids_out), np.concatenate(tfs_out),
+                np.concatenate(dls_out))
 
     def query_terms_rows(self, spark: SparkSession, q_terms: list[str]):
         """terms-table rows for the query terms, bucket-pruned the same

@@ -197,8 +197,8 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
 
 
 EXHAUSTIVE_POSTINGS_BUDGET = 200_000
-SEED_MIN_POSTINGS = 2_048  # seed decode floor (≥ 4k and a few blocks)
 LOOKUP_MIN_DF = 100_000    # only stopword-scale terms are demoted to lookups
+LOOKUP_CAND_CAP = 100_000  # collected-candidate bound; above → exhaustive
 
 
 def _min_maxtf(mode: str, idf_t: float, max_tf_t: int, lo: float) -> float:
@@ -222,37 +222,41 @@ def _min_maxtf(mode: str, idf_t: float, max_tf_t: int, lo: float) -> float:
 def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
               k: int, mode: str = "compat",
               exhaustive_budget: int = EXHAUSTIVE_POSTINGS_BUDGET,
-              lookup_min_df: int = LOOKUP_MIN_DF) -> DataFrame:
+              lookup_min_df: int = LOOKUP_MIN_DF,
+              debug: dict | None = None) -> DataFrame:
     """Exact top-k (doc_id, score) using block-max pruning, SEEDED from
-    block metadata:
+    the index's materialized impact tiers:
 
-      seed    read the (max_tf, n) HISTOGRAM of t* = argmax UBmax(t)
-              blocks — a metadata-only scan, parquet never touches the
-              binary columns — and pick the smallest cutoff whose blocks
-              hold ≥ max(4k, SEED_MIN) postings. Decode ONLY those.
-              The k-th best seed partial is a valid θ (partials from any
-              SUBSET of blocks underestimate final scores).
-      prune   a block b of term t (INCLUDING t* now) is decoded iff
-              UB(b) + Σ_{t'≠t} UBmax(t') ≥ θ; t*'s already-decoded seed
-              blocks (max_tf ≥ cutoff) are excluded from pass 2.
+      seed    decode ONLY the HOT tier (tier = 0) of t* = argmax
+              UBmax(t) — the top-tf postings of every salt run,
+              separated into their own blocks at build time. The tier
+              predicate prunes straight to the hot row groups of the
+              (term, tier, bound)-sorted bucket file; no metadata job
+              runs at all (round 2 spent one histogram job per term
+              choosing a bound cutoff that parquet stats then could not
+              always prune on). The k-th best seed partial is a valid θ
+              (partials from any SUBSET of blocks underestimate final
+              scores).
+      prune   a block b of term t (INCLUDING t*) is decoded iff
+              UB(b) + Σ_{t'≠t} UBmax(t') ≥ θ; t*'s hot tier (already
+              decoded as seeds) is excluded from pass 2. Cold-tier
+              blocks carry bounds capped by the tier boundary, so a
+              single-stopword query prunes the cold tier wholesale the
+              moment θ exceeds the boundary impact — round 2's
+              hash-ordered blocks each contained a near-max tf, making
+              every block un-prunable and the query a full-list decode.
               Exactness: for any doc e with true(e) ≥ θ and any block
               b ∋ e of term t: true(e) ≤ UB(b) + Σ_{t'≠t} UBmax(t'), so
               b survives; pruned docs stay < θ ≤ k-th best.
       pass 2  decode survivors, union with seed partials, sum → top-k.
       lookup  (MaxScore essential lists) stopword-scale terms whose
               summed UBmax stays below θ never generate candidates at
-              all — their tf is point-looked-up via the blocks'
-              [first_doc, last_doc] ranges for only the candidates that
-              can still win. A mixed rare+stopword query then never
-              decodes the stopword's full posting list (the round-1 p95
-              spike: Σ UBmax of the other terms exceeded θ, so no
-              stopword block was block-prunable — 4M postings decoded
-              per query).
-
-    Round-1 pass 1 also decoded ALL t* blocks — for a single stopword
-    query at 4M docs a full 4M-posting decode per query. The seed
-    histogram costs one tiny metadata job and cuts the decode to the
-    blocks that can actually reach the top-k.
+              all — their tf is point-looked-up for only the candidates
+              that can still win: driver-side parquet point reads on a
+              tombstone-free store (zero Spark jobs — the serving-tier
+              shape), else a distributed [first_doc, last_doc] range
+              join. A mixed rare+stopword query then never decodes the
+              stopword's full posting list.
 
     Adaptive: when Σ df is below exhaustive_budget a single decode+agg
     job wins on scheduling overhead (plans result-identical, verified in
@@ -263,11 +267,19 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
     Returns the same rows as query.topk(candidate_scores(...), k) on the
     flat postings — verified in tests/test_index_store.py.
     """
+    import time as _time
+    _t0 = _time.time()
+
+    def _mark(name: str, **extra) -> None:
+        if debug is not None:
+            debug[name] = {"t": round(_time.time() - _t0, 3), **extra}
+
     if not q_terms:
         return spark.createDataFrame([], "doc_id long, score double")
     meta = store.meta()
     n_docs = meta["n_docs"]
     trows = store.query_terms_rows(spark, q_terms)
+    _mark("terms")
     tstats = {r["term"]: (r["df"], r["max_tf"]) for r in trows}
     # persisted gen-0 salt modulus (build-time truth; never inferred
     # from observed block metadata, which under-counts when a heavy
@@ -287,9 +299,11 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
     sum_df = sum(tstats[t][0] for t in present)
     small = sum_df <= exhaustive_budget or max(ubmax.values()) <= 0
 
+    # NOT persisted: each phase's scan pushes its OWN predicates (term,
+    # bound threshold, doc ranges) into parquet row groups — caching
+    # would force phase 1 to read and materialize every query term's
+    # binaries, defeating the term-sorted row-group pruning.
     qblocks = store.query_blocks(spark, present)
-    if not small:
-        qblocks = qblocks.persist()
     p1 = None
     try:
         idf_df = F.broadcast(spark.createDataFrame(
@@ -327,20 +341,14 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
             if mb > 0 and now > mb:
                 basis_corr = mb / now
 
-        # ---- seed: (bound, Σn) histogram of t* — memoized metadata job
-        hist = store.block_summary(spark, t_star, bcol)["hist"]
-        need = max(4 * k, SEED_MIN_POSTINGS)
-        if hist:
-            cutoff, acc = hist[-1][0], 0
-            for mt, pn in hist:
-                acc += pn
-                if acc >= need:
-                    cutoff = mt
-                    break
-        else:  # degenerate store (no bound metadata) → seed everything
-            cutoff = float("-inf")
+        # ---- seed: t*'s HOT tier — impact tier 0, the top-tf postings
+        # of every salt run, materialized as a column at build time. No
+        # metadata job at all (round 2 spent one histogram job per term
+        # picking a bound cutoff): the tier predicate prunes straight
+        # to the hot row groups of the (term, tier, bound)-sorted
+        # bucket file, in BOTH modes.
         seeds = qblocks.filter((F.col("term") == t_star)
-                               & (F.col(bcol) >= cutoff))
+                               & (F.col("tier") == 0))
         p1 = (contributions(live_postings(spark, store, seeds))
               .groupBy("doc_id").agg(F.sum("contrib").alias("contrib"))
               .persist())
@@ -348,6 +356,7 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
                       .limit(k).collect())
         theta = (theta_rows[-1]["contrib"] if len(theta_rows) >= k
                  else float("-inf"))
+        _mark("theta")
 
         # ---- MaxScore demotion: stopword-scale terms (df > LOOKUP_MIN_DF)
         # whose SUMMED upper bounds stay below θ become LOOKUP terms — a
@@ -375,8 +384,8 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
                 # block survives iff idf·max_imp·(1/basis_corr) ≥ lo
                 thr = 0.0 if lo <= 0 else (lo / idf[t]) * basis_corr
             sv = F.col(bcol) >= float(thr)
-            if t == t_star:  # seeds already decoded
-                sv = sv & (F.col(bcol) < cutoff)
+            if t == t_star:  # the hot tier is already decoded (seeds)
+                sv = sv & (F.col("tier") != 0)
             if mode != "compat":
                 # a block with no stored impact bound can never be
                 # pruned (NULL comparisons would silently drop it)
@@ -389,55 +398,121 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         cand = (p1.unionAll(p2)
                 .groupBy("doc_id").agg(F.sum("contrib").alias("partial")))
 
+        _mark("plan", non_ess=list(non_ess))
         if not non_ess:
             rows = (cand.select("doc_id", F.col("partial").alias("score"))
                     .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
                     .collect())
+            _mark("final")
         else:
             # Exactness: every doc with true ≥ θ has an essential term
             # (else true ≤ Σ_non-ess UBmax < θ), so `cand` is a complete
-            # candidate set; θ2 (k-th best essential partial) can only
-            # tighten it. Only candidates with partial + Σ_ne UBmax ≥ θ2
-            # can reach the top-k — ≥ k of them exist by construction.
-            cand = cand.persist()
-            krows = (cand.orderBy(F.desc("partial"), F.asc("doc_id"))
-                     .limit(k).collect())
-            theta2 = max(theta, krows[-1]["partial"]
-                         if len(krows) >= k else float("-inf"))
-            lk = cand.filter(
-                F.col("partial") >= float(theta2 - ne_sum)).persist()
-            lk_ids = F.broadcast(lk.select("doc_id"))
-            # a candidate's posting for a lookup term lives in exactly one
-            # gen-0 (salt, block): salt = pmod(xxhash64(doc), n_salt) with
-            # n_salt read from the terms table (persisted at build);
-            # incremental appends (gen > 0) always use salt 0 → matched by
-            # range alone. Decode ONLY blocks whose [first_doc, last_doc]
-            # covers a candidate in the right salt.
-            ns = {t: n_salt0[t] for t in non_ess}
-            parts = [lk.select("doc_id", F.col("partial").alias("contrib"))]
-            for t in non_ess:
-                cs = lk.select(
-                    "doc_id",
-                    F.pmod(F.xxhash64("doc_id"),
-                           F.lit(ns.get(t, 1))).cast("int").alias("csalt"))
-                hit = (qblocks.filter(F.col("term") == t).alias("b")
-                       .join(F.broadcast(cs).alias("c"),
-                             (F.col("b.first_doc") <= F.col("c.doc_id"))
-                             & (F.col("c.doc_id") <= F.col("b.last_doc"))
-                             & ((F.col("b.gen") != 0)
-                                | (F.col("b.salt") == F.col("c.csalt"))),
-                             "left_semi"))
-                parts.append(
-                    contributions(live_postings(spark, store, hit))
-                    .join(lk_ids, "doc_id").select("doc_id", "contrib"))
-            total = parts[0]
-            for p in parts[1:]:
-                total = total.unionAll(p)
-            rows = (total.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
-                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-                    .collect())
-            lk.unpersist()
-            cand.unpersist()
+            # candidate set. ONE collect fetches every candidate that
+            # could still reach the top-k (partial ≥ θ − Σ_ne UBmax);
+            # the tighter θ2 (k-th best partial — ≥ θ, hence inside the
+            # collected superset) is then computed DRIVER-side, and the
+            # per-term salt relations become LOCAL broadcasts, which
+            # Spark materializes on the driver without scheduling a job
+            # — the round-2 shape spent ~4 extra jobs per query on the
+            # k-rows collect plus one broadcast job per DataFrame.
+            crows = (cand.filter(
+                F.col("partial") >= float(theta - ne_sum))
+                .orderBy(F.desc("partial"), F.asc("doc_id"))
+                .limit(LOOKUP_CAND_CAP).collect())
+            _mark("cand", n=len(crows))
+            if len(crows) >= LOOKUP_CAND_CAP:
+                # pathological candidate volume (θ barely above Σ_ne):
+                # the truncated list cannot bound θ2 soundly → exact
+                # exhaustive fallback
+                rows = (contributions(live_postings(spark, store, qblocks))
+                        .groupBy("doc_id")
+                        .agg(F.sum("contrib").alias("score"))
+                        .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                        .collect())
+            else:
+                theta2 = (max(theta, crows[k - 1]["partial"])
+                          if len(crows) >= k else theta)
+                lk_rows = [(r["doc_id"], float(r["partial"]))
+                           for r in crows
+                           if r["partial"] >= theta2 - ne_sum]
+                # a candidate's posting for a lookup term lives in gen-0
+                # (salt, block)s with salt = pmod(xxhash64(doc), n_salt)
+                # (n_salt persisted in the terms table at build);
+                # incremental appends (gen > 0) always use salt 0 →
+                # matched by range alone. Decode ONLY blocks whose
+                # [first_doc, last_doc] covers a candidate in the right
+                # salt (per impact tier: ≤ tiers blocks per candidate).
+                from ..functions.hashing import spark_xxhash64_long
+                _mark("lookup_mode",
+                      arrow=store.tombstones(spark) is None)
+                if store.tombstones(spark) is None:
+                    # SERVING-TIER path: the whole lookup+merge phase is
+                    # parquet point reads on the driver — zero Spark
+                    # jobs (a top-k serving layer does point lookups
+                    # from an index node, not with a cluster scan).
+                    # Guarded: tombstoned stores use the distributed
+                    # path below (lookups must observe deletes), and
+                    # the candidate set is bounded by LOOKUP_CAND_CAP.
+                    totals = {d: p for d, p in lk_rows}
+                    for t in non_ess:
+                        nsalt = max(1, n_salt0.get(t, 1))
+                        cands = [(d, spark_xxhash64_long(d) % nsalt)
+                                 for d, _ in lk_rows]
+                        ids_a, tfs_a, dls_a = store.lookup_postings_arrow(
+                            t, cands)
+                        tf = tfs_a.astype("float64")
+                        if mode == "compat":
+                            w = tf  # tf_weight_compat: raw tf as double
+                        else:
+                            # mirrors score.tf_weight_bm25's expression
+                            # tree exactly: tf·(k1+1) / (tf + k1·((1−b)
+                            # + (b·dl)/avgdl))
+                            k1, b_ = S.K1_DEFAULT, S.B_DEFAULT
+                            denom = tf + k1 * (
+                                (1.0 - b_)
+                                + (b_ * dls_a.astype("float64"))
+                                / float(meta["avgdl"]))
+                            w = tf * (k1 + 1.0) / denom
+                        contrib = w * idf[t]
+                        for d, c in zip(ids_a.tolist(), contrib.tolist()):
+                            totals[d] = totals.get(d, 0.0) + c
+                    best = sorted(totals.items(),
+                                  key=lambda x: (-x[1], x[0]))[:k]
+                    from pyspark.sql import Row as _Row
+                    rows = [_Row(doc_id=int(d), score=float(s))
+                            for d, s in best]
+                else:
+                    lk_ids = F.broadcast(spark.createDataFrame(
+                        [(d,) for d, _ in lk_rows], "doc_id long"))
+                    parts = [spark.createDataFrame(
+                        lk_rows, "doc_id long, contrib double")]
+                    for t in non_ess:
+                        nsalt = max(1, n_salt0.get(t, 1))
+                        cs = F.broadcast(spark.createDataFrame(
+                            [(d, spark_xxhash64_long(d) % nsalt)
+                             for d, _ in lk_rows], "doc_id long, csalt int"))
+                        hit = (qblocks.filter(F.col("term") == t).alias("b")
+                               .join(cs.alias("c"),
+                                     (F.col("b.first_doc")
+                                      <= F.col("c.doc_id"))
+                                     & (F.col("c.doc_id")
+                                        <= F.col("b.last_doc"))
+                                     & ((F.col("b.gen") != 0)
+                                        | (F.col("b.salt")
+                                           == F.col("c.csalt"))),
+                                     "left_semi"))
+                        parts.append(
+                            contributions(live_postings(spark, store, hit))
+                            .join(lk_ids, "doc_id")
+                            .select("doc_id", "contrib"))
+                    total = parts[0]
+                    for p in parts[1:]:
+                        total = total.unionAll(p)
+                    rows = (total.groupBy("doc_id")
+                            .agg(F.sum("contrib").alias("score"))
+                            .orderBy(F.desc("score"), F.asc("doc_id"))
+                            .limit(k).collect())
+                _mark("final", lk=len(lk_rows))
 
         # Zero tier: the reference's OR semantics admits docs whose every
         # matched term has idf 0 (score 0.0) as real results
@@ -452,6 +527,5 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
                     .collect())
         return spark.createDataFrame(rows, "doc_id long, score double")
     finally:
-        qblocks.unpersist()
         if p1 is not None:
             p1.unpersist()

@@ -222,6 +222,19 @@ def test_bm25_wand_after_reindex(spark, store):
         for g, w in zip(got, want):
             assert abs(g[1] - w[1]) < 1e-9, q
 
+    # the TOMBSTONED store must route MaxScore lookups through the
+    # distributed range join (the arrow point-read path cannot see
+    # deletes) and still match the plain scorer exactly
+    for q in (["zanzibar", "the"], ["xylophone", "the"]):
+        got = [(r["doc_id"], r["score"])
+               for r in wand_topk(spark, store, q, 10, mode="bm25",
+                                  exhaustive_budget=0,
+                                  lookup_min_df=1).collect()]
+        want = _plain_bm25_topk(spark, store, q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-9, q
+
 
 def test_bm25_wand_after_reindex_batch(spark, store):
     """Same parity through the BULK append path (reindex_batch) that
