@@ -38,9 +38,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import logging
+
 from . import score as S
 from .codec import decode_block
 from .index_store import IndexStore
+
+log = logging.getLogger(__name__)
 
 DECODED_SCHEMA = "doc_id long, term string, tf long, dl long, gen int"
 
@@ -521,6 +525,13 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         # reaches the zero tier, fall back to exhaustive decode (exact,
         # and rare: only when fewer than k docs score > 0).
         if len(rows) < k or (rows and rows[-1]["score"] <= 0):
+            # attributable latency cliff: this decodes EVERY query-term
+            # block (e.g. a stopword-only query over a mostly-
+            # tombstoned index) — rare by construction, never silent
+            log.warning(
+                "wand_topk: top-%d reached the zero-score tier for %s — "
+                "falling back to exhaustive decode of all query blocks",
+                k, q_terms)
             rows = (contributions(live_postings(spark, store, qblocks))
                     .groupBy("doc_id").agg(F.sum("contrib").alias("score"))
                     .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
