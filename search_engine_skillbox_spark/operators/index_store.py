@@ -476,6 +476,12 @@ class IndexStore:
             return None
         return spark.read.parquet(p)
 
+    def has_tombstones(self) -> bool:
+        """Pure-filesystem check (no session needed) — gates the
+        driver-side serving path, which must not run when deletes
+        exist (operators/serving.py)."""
+        return os.path.isdir(os.path.join(self.path, "tombstones"))
+
     def _cached(self, spark: SparkSession, name: str) -> DataFrame:
         """Reuse DataFrame handles per (session, table): parquet file
         listing + schema inference run once per session instead of per
@@ -492,6 +498,7 @@ class IndexStore:
     def invalidate_reads(self) -> None:
         self._read_cache = {}
         self._terms_row_cache = {}
+        self._serve_cache = {}  # serving-tier pyarrow handles + memos
 
     def blocks(self, spark: SparkSession) -> DataFrame:
         return self._cached(spark, "blocks")

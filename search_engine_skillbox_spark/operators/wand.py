@@ -34,6 +34,7 @@ query.py) on every fixture query.
 from __future__ import annotations
 
 import numpy as np
+import os
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -227,6 +228,7 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
               k: int, mode: str = "compat",
               exhaustive_budget: int = EXHAUSTIVE_POSTINGS_BUDGET,
               lookup_min_df: int = LOOKUP_MIN_DF,
+              serving: bool = True,
               debug: dict | None = None) -> DataFrame:
     """Exact top-k (doc_id, score) using block-max pruning, SEEDED from
     the index's materialized impact tiers:
@@ -280,6 +282,29 @@ def wand_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
 
     if not q_terms:
         return spark.createDataFrame([], "doc_id long, score double")
+
+    # ---- serving tier: when the store has no tombstones and every
+    # read the query needs is provably bounded, the driver answers it
+    # from parquet point reads with ZERO Spark jobs — the index-node
+    # serving shape (the reference serves every query from B-tree
+    # lookups the same way, IndexRepository.java:26-50). serve_topk
+    # re-executes THIS algorithm (same phases, same float64 math,
+    # equality-pinned in tests) and returns None on any bound breach
+    # or the zero-score tier → the distributed path below runs.
+    if (serving and not store.has_tombstones()
+            and os.environ.get("SPARK_GRAFT_NO_SERVING") != "1"):
+        from .serving import serve_topk
+        served = serve_topk(store, q_terms, k, mode,
+                            exhaustive_budget=exhaustive_budget,
+                            lookup_min_df=lookup_min_df,
+                            lookup_cand_cap=LOOKUP_CAND_CAP,
+                            debug=debug)
+        if served is not None:
+            _mark("served")
+            return spark.createDataFrame(
+                [(int(d), float(s)) for d, s in served],
+                "doc_id long, score double")
+
     meta = store.meta()
     n_docs = meta["n_docs"]
     trows = store.query_terms_rows(spark, q_terms)

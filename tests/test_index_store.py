@@ -61,11 +61,12 @@ def test_terms_and_meta(spark, store, index_frames, oracle):
         assert b["max_tf"] == int(tfs.max()) and b["n"] == len(tfs)
 
 
+@pytest.mark.parametrize("serving", [True, False])  # driver-tier AND distributed
 @pytest.mark.parametrize("budget", [0, 5_000_000])  # 0 forces the pruned 2-pass
 @pytest.mark.parametrize("mode", ["compat", "bm25"])
 @pytest.mark.parametrize("k", [5, 10, 50])
 def test_wand_equals_plain(spark, store, index_frames, oracle, mode, k,
-                           qterms_idx, budget):
+                           qterms_idx, budget, serving):
     p, t, dls = index_frames
     n = B.corpus_size(p)
     q = qterms_idx
@@ -79,7 +80,8 @@ def test_wand_equals_plain(spark, store, index_frames, oracle, mode, k,
             for r in Q.topk(plain, k).collect()]
     got = [(r["doc_id"], r["score"])
            for r in wand_topk(spark, store, q, k, mode,
-                              exhaustive_budget=budget).collect()]
+                              exhaustive_budget=budget,
+                              serving=serving).collect()]
     assert len(got) == len(want)
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd, gs, ws)
@@ -95,10 +97,11 @@ def qterms_idx(oracle):
     return [heavy, mid[len(mid) // 2], rare]
 
 
+@pytest.mark.parametrize("serving", [True, False])
 @pytest.mark.parametrize("mode", ["compat", "bm25"])
 @pytest.mark.parametrize("k", [5, 10])
 def test_wand_lookup_path_equals_plain(spark, store, index_frames, mode, k,
-                                       qterms_idx):
+                                       qterms_idx, serving):
     """MaxScore demotion (lookup_min_df=1 forces the heavy term into the
     lookup path) must stay top-k identical to the plain path."""
     p, t, dls = index_frames
@@ -114,7 +117,7 @@ def test_wand_lookup_path_equals_plain(spark, store, index_frames, mode, k,
     want = [(r["doc_id"], r["score"]) for r in Q.topk(plain, k).collect()]
     got = [(r["doc_id"], r["score"]) for r in
            wand_topk(spark, store, q, k, mode, exhaustive_budget=0,
-                     lookup_min_df=1).collect()]
+                     lookup_min_df=1, serving=serving).collect()]
     assert len(got) == len(want)
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd, gs, ws)
@@ -216,9 +219,11 @@ def test_wand_arrow_lookup_equals_plain(spark, store, index_frames, mode,
     k = 5
     want = [(r["doc_id"], r["score"]) for r in Q.topk(plain, k).collect()]
     dbg: dict = {}
+    # serving=False: this test pins the DISTRIBUTED path's arrow-lookup
+    # branch (the serving tier would intercept the whole query first)
     got = [(r["doc_id"], r["score"]) for r in
            wand_topk(spark, store, q, k, mode, exhaustive_budget=0,
-                     lookup_min_df=1, debug=dbg).collect()]
+                     lookup_min_df=1, serving=False, debug=dbg).collect()]
     assert len(got) == len(want)
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd, gs, ws)
