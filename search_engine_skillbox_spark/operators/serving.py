@@ -52,6 +52,9 @@ DECODE_CAP = 2_000_000
 # terms-dictionary bucket files larger than this are not scanned
 # driver-side (the Spark lookup bucket-prunes and pushes isin instead)
 TERMS_BUCKET_ROWS_CAP = 5_000_000
+# docs/ host-bucket slices larger than this are left to the
+# distributed site path (partition-pruned Spark scan)
+SITE_SLICE_CAP = 4_000_000
 
 META_COLS = ["term", "salt", "tier", "gen", "n", "max_tf",
              "first_doc", "last_doc", "max_imp"]
@@ -247,6 +250,99 @@ def _aggregate(ids_parts: list[np.ndarray], contrib_parts: list[np.ndarray]):
 def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
     order = np.lexsort((ids, -scores))[:k]
     return [(int(ids[i]), float(scores[i])) for i in order]
+
+
+def _host_doc_ids(store: IndexStore, host: str):
+    """Sorted doc_ids of one host, read driver-side from the docs/
+    host-bucket slice (only the doc_id + host columns of the
+    (host_bucket, doc_bucket)-partitioned table are materialized —
+    same partition pruning the distributed path pushes into Spark).
+    Returns None when the slice exceeds SITE_SLICE_CAP rows. Memoized;
+    invalidated with the store's read caches."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import term_bucket
+    cache = _scache(store).setdefault("hostdocs", {})
+    if host in cache:
+        return cache[host]
+    hb = term_bucket(host, store.n_buckets)
+    base = os.path.join(store.path, "docs", f"host_bucket={hb}")
+    pfs = []
+    if os.path.isdir(base):
+        for root, _dirs, files in os.walk(base):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    pfs.append(pq.ParquetFile(os.path.join(root, fn)))
+    if sum(pf.metadata.num_rows for pf in pfs) > SITE_SLICE_CAP:
+        cache[host] = None
+        return None
+    ids = []
+    for pf in pfs:
+        tbl = pf.read(columns=["doc_id", "host"])
+        mask = pc.equal(tbl.column("host"), host)
+        ids.append(tbl.column("doc_id").filter(mask).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    out = (np.sort(np.concatenate(ids)) if ids
+           else np.empty(0, np.int64))
+    cache[host] = out
+    return out
+
+
+def serve_site_topk(store: IndexStore, q_terms: list[str], k: int,
+                    host: str, mode: str = "compat",
+                    debug: dict | None = None):
+    """Driver-side twin of wand.site_topk (T9/J2): within-site df and
+    N(site) recomputed exactly like the reference's site JPQL
+    (IndexRepository.java:41-50) — df_site = per-term distinct doc
+    count among the host's docs, N(site) from build-time meta. The
+    candidate side is every decoded posting of the query terms
+    (bounded by Σ df ≤ DECODE_CAP — global block bounds cannot tighten
+    a within-site θ, same reasoning as the distributed path), the
+    dimension side the host-bucket docs slice (≤ SITE_SLICE_CAP).
+    Returns [(doc_id, score)] or None → distributed site_topk."""
+    meta = store.meta()
+    avgdl = float(meta.get("avgdl", 0.0) or 0.0)
+    n_site = int(meta.get("n_docs_by_host", {}).get(host, 0))
+    if n_site <= 0:
+        return []
+    tmap = terms_rows_arrow(store, q_terms)
+    if tmap is None:
+        return None
+    present = [t for t in q_terms if tmap.get(t) is not None]
+    if not present:
+        return []
+    if sum(int(tmap[t]["df"]) for t in present) > DECODE_CAP:
+        return None
+    host_ids = _host_doc_ids(store, host)
+    if host_ids is None:
+        return None
+    if host_ids.size == 0:
+        return []
+    metas = []
+    for t in present:
+        tm = _term_meta(store, t)
+        if tm is None:
+            return None
+        metas.append((tm, np.ones(tm["fi"].size, bool)))
+    idf_py = S.idf_compat_py if mode == "compat" else S.idf_bm25_py
+    parts_i, parts_c = [], []
+    for t, (ids, tfs, dls) in zip(present, _decode_selected(store, metas)):
+        keep = np.isin(ids, host_ids)
+        ids_t, tfs_t, dls_t = ids[keep], tfs[keep], dls[keep]
+        # within-site df: docs are unique within a term's live postings
+        # (tombstone-free store), so the match count IS the distinct
+        # count — the reference's countDocsByLemmaAndSite
+        idf_t = idf_py(int(ids_t.size), n_site)
+        if ids_t.size:
+            parts_i.append(ids_t)
+            parts_c.append(_contrib(tfs_t, dls_t, idf_t, mode, avgdl))
+    if debug is not None:
+        debug["serve_site"] = {"host_docs": int(host_ids.size)}
+    if not parts_i:
+        return []
+    uids, tot = _aggregate(parts_i, parts_c)
+    return _topk(uids, tot, k)
 
 
 def serve_topk(store: IndexStore, q_terms: list[str], k: int,

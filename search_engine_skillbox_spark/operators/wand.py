@@ -135,7 +135,8 @@ def live_docids(spark: SparkSession, store: IndexStore,
 
 
 def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
-              k: int, host: str, mode: str = "compat") -> DataFrame:
+              k: int, host: str, mode: str = "compat",
+              serving: bool = True) -> DataFrame:
     """T9/J2: site-filtered exact top-k served FROM the physical index
     (no per-site rebuild).
 
@@ -163,6 +164,19 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
     empty = "doc_id long, score double"
     if not q_terms:
         return spark.createDataFrame([], empty)
+
+    # serving tier (operators/serving.py): bounded site queries answer
+    # driver-side — host-bucket docs slice point read + query-term
+    # decode, zero Spark jobs; None on any bound breach → the
+    # distributed partition-pruned path below
+    if (serving and not store.has_tombstones()
+            and os.environ.get("SPARK_GRAFT_NO_SERVING") != "1"):
+        from .serving import serve_site_topk
+        served = serve_site_topk(store, q_terms, k, host, mode)
+        if served is not None:
+            return spark.createDataFrame(
+                [(int(d), float(s)) for d, s in served], empty)
+
     meta = store.meta()
     n_site = int(meta.get("n_docs_by_host", {}).get(host, 0))
     if n_site <= 0:

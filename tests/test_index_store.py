@@ -130,11 +130,13 @@ def test_wand_single_and_absent(spark, store, qterms_idx):
     assert wand_topk(spark, store, [], 10).count() == 0
 
 
+@pytest.mark.parametrize("serving", [True, False])
 def test_site_topk_equals_logical(spark, store, prepared, index_frames,
-                                  qterms_idx):
+                                  qterms_idx, serving):
     """T9/J2: site-filtered top-k from the physical index must equal the
     logical rebuild-within-site path (df/N recomputed in the site, like
-    IndexRepository.java:41-50)."""
+    IndexRepository.java:41-50) — on BOTH the serving and the
+    distributed path."""
     from search_engine_skillbox_spark.operators.wand import site_topk
     host = "alpha.test"
     p, _, _ = index_frames
@@ -146,13 +148,16 @@ def test_site_topk_equals_logical(spark, store, prepared, index_frames,
             Q.topk(Q.candidate_scores(p_site, t_site, n_site, qterms_idx,
                                       "compat"), 10).collect()]
     got = [(r["doc_id"], r["score"]) for r in
-           site_topk(spark, store, qterms_idx, 10, host).collect()]
+           site_topk(spark, store, qterms_idx, 10, host,
+                     serving=serving).collect()]
     assert len(got) == len(want) > 0
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd, gs, ws)
     # unknown host → empty; empty query → empty
-    assert site_topk(spark, store, qterms_idx, 10, "nohost.test").count() == 0
-    assert site_topk(spark, store, [], 10, host).count() == 0
+    assert site_topk(spark, store, qterms_idx, 10, "nohost.test",
+                     serving=serving).count() == 0
+    assert site_topk(spark, store, [], 10, host,
+                     serving=serving).count() == 0
 
 
 def test_search_service_site(spark, store, prepared, index_frames,
