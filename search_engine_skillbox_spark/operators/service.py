@@ -18,6 +18,7 @@ per-site rebuild; cost bounded by the query terms' posting lists.
 from __future__ import annotations
 
 import numpy as np
+import os as _os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -62,7 +63,20 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
     # multi-term → count-distinct over doc_ids only (tf bytes never read)
     trows = store.query_terms_rows(spark, q_terms)
     has_tomb = store.tombstones(spark) is not None
-    if not trows:
+    # serving tier: the total-match count is a bounded distinct-union
+    # over the query terms' doc_ids — answered driver-side on
+    # tombstone-free stores (operators/serving.py), Spark fallback on
+    # any bound breach. The single-term no-site total stays the free
+    # dictionary df (no decode at all).
+    total = None
+    needs_count_job = bool(site) or len(q_terms) > 1 or has_tomb
+    if (trows and needs_count_job and not has_tomb
+            and _os.environ.get("SPARK_GRAFT_NO_SERVING") != "1"):
+        from .serving import serve_match_count
+        total = serve_match_count(store, q_terms, site or None)
+    if total is not None:
+        pass
+    elif not trows:
         total = 0
     elif site:
         from .wand import live_docids

@@ -345,6 +345,43 @@ def serve_site_topk(store: IndexStore, q_terms: list[str], k: int,
     return _topk(uids, tot, k)
 
 
+def serve_match_count(store: IndexStore, q_terms: list[str],
+                      host: str | None = None):
+    """Driver-side twin of the service layer's total-match count
+    (live_docids ∪ distinct — the reference returns TOTAL matches, not
+    page size). OR semantics: distinct docs containing ANY query term,
+    optionally restricted to one host. Returns int or None on a bound
+    breach (Σ df > DECODE_CAP / slice too big) → distributed count."""
+    tmap = terms_rows_arrow(store, q_terms)
+    if tmap is None:
+        return None
+    present = [t for t in q_terms if tmap.get(t) is not None]
+    if not present:
+        return 0
+    if sum(int(tmap[t]["df"]) for t in present) > DECODE_CAP:
+        return None
+    host_ids = None
+    if host is not None:
+        host_ids = _host_doc_ids(store, host)
+        if host_ids is None:
+            return None
+        if host_ids.size == 0:
+            return 0
+    metas = []
+    for t in present:
+        tm = _term_meta(store, t)
+        if tm is None:
+            return None
+        metas.append((tm, np.ones(tm["fi"].size, bool)))
+    parts = []
+    for ids, _tfs, _dls in _decode_selected(store, metas):
+        parts.append(ids if host_ids is None
+                     else ids[np.isin(ids, host_ids)])
+    if not parts:
+        return 0
+    return int(np.unique(np.concatenate(parts)).size)
+
+
 def serve_topk(store: IndexStore, q_terms: list[str], k: int,
                mode: str = "compat", exhaustive_budget: int = 200_000,
                lookup_min_df: int = 100_000,

@@ -87,3 +87,25 @@ def test_serving_sees_appended_generation(spark, store, qterms, oracle):
     b = [(r["doc_id"], round(r["score"], 9)) for r in
          wand_topk(spark, store, [rare], 50, serving=False).collect()]
     assert a == b
+
+
+def test_serve_match_count_matches_spark(spark, store, qterms):
+    """The driver-side total-match count must equal the distributed
+    live_docids distinct count, with and without a host filter."""
+    from pyspark.sql import functions as F
+
+    from search_engine_skillbox_spark.functions.hashing import term_bucket
+    from search_engine_skillbox_spark.operators.wand import live_docids
+    got = sv.serve_match_count(store, qterms)
+    want = (live_docids(spark, store, store.query_blocks(spark, qterms))
+            .distinct().count())
+    assert got == want > 0
+    host = "alpha.test"
+    hb = term_bucket(host, store.n_buckets)
+    dhost = (store.docs(spark).filter(F.col("host_bucket") == hb)
+             .filter(F.col("host") == host).select("doc_id"))
+    want_site = (live_docids(spark, store,
+                             store.query_blocks(spark, qterms))
+                 .join(dhost, "doc_id").distinct().count())
+    assert sv.serve_match_count(store, qterms, host) == want_site
+    assert sv.serve_match_count(store, ["zzzabsent"]) == 0
