@@ -43,15 +43,15 @@ def main() -> None:
     out = {}
     for mode in ("compat", "bm25"):
         wand_topk(spark, store, [mid], args.k, mode).collect()  # warm
-        lat, cold = [], []
+        lat, cold, warm = [], [], []
         for rep in range(args.reps):
             for q in qset:
                 t0 = time.time()
                 wand_topk(spark, store, q, args.k, mode).collect()
                 dt = time.time() - t0
                 lat.append(dt)
-                if rep == 0:
-                    cold.append(dt)  # first run of this distinct query
+                # first run of each distinct query is the cold sample
+                (cold if rep == 0 else warm).append(dt)
         lat.sort()
         # overall percentiles (cold first-runs INCLUDED — comparable
         # with earlier rounds), plus the cold/warm split: cold = each
@@ -61,13 +61,10 @@ def main() -> None:
         out[f"{mode}_p95_sec"] = round(lat[max(0, int(len(lat) * 0.95) - 1)], 4)
         out[f"{mode}_mean_sec"] = round(sum(lat) / len(lat), 4)
         out[f"{mode}_cold_max_sec"] = round(max(cold), 4)
-        rest = lat.copy()
-        for v in cold:
-            rest.remove(v)
-        if rest:
-            rest.sort()
+        if warm:
+            warm.sort()
             out[f"{mode}_warm_p95_sec"] = round(
-                rest[max(0, int(len(rest) * 0.95) - 1)], 4)
+                warm[max(0, int(len(warm) * 0.95) - 1)], 4)
     out["n_queries"] = args.reps * len(qset) * 2
     print(json.dumps(out))
 

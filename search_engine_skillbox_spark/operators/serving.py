@@ -49,6 +49,9 @@ from .index_store import IndexStore
 # of int64 numpy — an index-node-sized working set, not a driver OOM.
 META_ROWS_CAP = 2_000_000
 DECODE_CAP = 2_000_000
+# distinct terms memoized in the block-metadata cache before a
+# wholesale reset (bounds driver memory in a long-lived service)
+META_MEMO_TERMS = 10_000
 # terms-dictionary bucket files larger than this are not scanned
 # driver-side (the Spark lookup bucket-prunes and pushes isin instead)
 TERMS_BUCKET_ROWS_CAP = 5_000_000
@@ -138,6 +141,11 @@ def _term_meta(store: IndexStore, term: str):
     cache = _scache(store).setdefault("meta", {})
     if term in cache:
         return cache[term]
+    if len(cache) >= META_MEMO_TERMS:
+        # bound driver memory in a long-lived service process: the memo
+        # grows with DISTINCT queried terms — reset wholesale (reloads
+        # are cheap footer-pruned reads, no LRU bookkeeping needed)
+        cache.clear()
     b = term_bucket(term, store.n_buckets)
     cols: dict[str, list] = {c: [] for c in META_COLS if c != "term"}
     loc_f, loc_rg, loc_row = [], [], []
