@@ -176,6 +176,16 @@ def test_compact_preserves_state(spark, store):
     gens = [r["gen"] for r in
             store.blocks(spark).select("gen").distinct().collect()]
     assert gens == [0]
+    # compaction restores SERVING eligibility (tombstones gone): the
+    # driver-side path answers again and equals the distributed one
+    assert not store.has_tombstones()
+    from search_engine_skillbox_spark.operators.wand import wand_topk
+    term = next(iter(_live_flat(spark, store)))[1]
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         wand_topk(spark, store, [term], 10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         wand_topk(spark, store, [term], 10, serving=False).collect()]
+    assert a == b and len(a) > 0
 
 
 def _plain_bm25_topk(spark, st, q_terms, k):
