@@ -109,6 +109,37 @@ def main() -> None:
         timings[f"query_{mode}_p50"] = round(stats.median(lat), 3)
         timings[f"query_{mode}_p95"] = round(lat[int(len(lat) * 0.95) - 1], 3)
 
+    # ---- 3b. per-query Spark job counts (VERDICT r3 #7: track the
+    # serving tier's zero-job claim round-over-round) + site-filtered
+    # path latency (T9 — the round-3 scale-killer fix)
+    from search_engine_skillbox_spark.operators.wand import site_topk
+    sc = spark.sparkContext
+
+    def count_jobs(fn) -> int:
+        gid = f"bench-jobs-{time.time_ns()}"
+        sc.setJobGroup(gid, "bench job count")
+        fn()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(gid))
+
+    q3 = [heavy, mid, rare]
+    extra["query_jobs_serving"] = count_jobs(
+        lambda: wand_topk(spark, store_big, q3, 10).collect())
+    extra["query_jobs_distributed"] = count_jobs(
+        lambda: wand_topk(spark, store_big, q3, 10,
+                          serving=False).collect())
+    host = "alpha.test"
+    site_topk(spark, store_big, q3, 10, host).collect()  # warm-up
+    slat = []
+    for _ in range(QUERY_REPS):
+        t0 = time.time()
+        site_topk(spark, store_big, q3, 10, host).collect()
+        slat.append(time.time() - t0)
+    slat.sort()
+    timings["query_site_p50"] = round(stats.median(slat), 3)
+    extra["site_query_jobs"] = count_jobs(
+        lambda: site_topk(spark, store_big, q3, 10, host).collect())
+
     # ---- 4. full service e2e (hydrate + snippets)
     with timed("search_service_e2e"):
         search_service(spark, store_big, f"{mid} {rare}", limit=10)

@@ -89,6 +89,32 @@ def doc_bucket(doc_id: int, n_buckets: int) -> int:
     return spark_xxhash64_long(doc_id) % n_buckets
 
 
+def spark_xxhash64_long_np(vals):
+    """Vectorized twin of spark_xxhash64_long over an int64 numpy array
+    (XXH64 of an 8-byte input reduces to one lane + avalanche — every
+    step is expressible in uint64 numpy). Equality with the scalar
+    version is pinned in tests; used by the serving tier to compute
+    gen-0 salts for thousands of candidate docs per site query."""
+    import numpy as np
+    u64 = np.uint64
+    with np.errstate(over="ignore"):
+        k = np.asarray(vals, np.int64).view(np.uint64)
+        P1, P2, P3, P4, P5 = (u64(_P1), u64(_P2), u64(_P3), u64(_P4),
+                              u64(_P5))
+
+        def rotl(x, r):
+            return (x << u64(r)) | (x >> u64(64 - r))
+
+        h = u64(42) + P5 + u64(8)  # seed + P5 + len(8 bytes)
+        h = rotl(h ^ (rotl(k * P2, 31) * P1), 27) * P1 + P4
+        h ^= h >> u64(33)
+        h *= P2
+        h ^= h >> u64(29)
+        h *= P3
+        h ^= h >> u64(32)
+        return h.view(np.int64)
+
+
 # --- cross-engine deterministic column hashes -----------------------------
 # Oracle parity (DuckDB) needs a hash computable identically in both
 # engines. md5 is the shared primitive: h60 = first 15 hex digits as int

@@ -89,7 +89,13 @@ def _drop_big_buckets(rows: DataFrame, keys: list[str], max_bucket: int,
     if n_over:
         log.warning("dedup: dropped %d %s bucket(s) larger than %d members",
                     n_over, what, max_bucket)
-    return rows.join(over.select(*keys), keys, "left_anti")
+    # localCheckpoint (eager) materializes the tiny key set so the cache
+    # can be released NOW — the lazy anti-join the caller gets no longer
+    # references `over`, so nothing leaks a persisted frame per call
+    # (checkpoint blocks are GC-managed with the returned plan).
+    over_keys = over.select(*keys).localCheckpoint()
+    over.unpersist()
+    return rows.join(over_keys, keys, "left_anti")
 
 
 def shingles(docs: DataFrame, k: int = 3, doc_col: str = "doc_id",

@@ -36,8 +36,11 @@ round-tripping rows through the driver (the round-1 driver-collect
 bottleneck); no collect() here scales with bucket or corpus size.
 
 Crash consistency: each mutation records per-step lineage rows
-(plans/checkpoint.Lineage, build_id = "incr-g<gen>") in the same file
-the build uses. The steps are ordered so a crash window leaves the
+(plans/checkpoint.Lineage, build_id = "incr-g<gen>-<payload>" where
+<payload> identifies the mutation's input — done-step skipping on
+replay only ever applies to a replay of the SAME payload; a foreign
+payload's DONE rows at the same gen raise, requiring compact) in the
+same file the build uses. The steps are ordered so a crash window leaves the
 index QUERY-SAFE but possibly stats-stale: tombstones land before new
 blocks (worst case: doc temporarily missing), dictionaries before meta
 (worst case: df/cf fresh, n_docs stale by one batch). check_consistency
@@ -69,6 +72,42 @@ def _incr_lineage(store: IndexStore):
     return Lineage(os.path.join(store.path, "lineage.jsonl"))
 
 
+def _gen_bid(lineage, gen: int, payload_key: str) -> str:
+    """Lineage build_id for one incremental mutation: generation number
+    PLUS a payload identity. Done-step skipping on replay must only
+    apply to a replay of the SAME payload — keyed by gen alone, a crash
+    of mutation A at gen G followed by a DIFFERENT mutation B computing
+    the same G would find A's DONE rows and silently skip appending B's
+    own tombstones/blocks/dictionary deltas (posting loss, not just
+    meta drift). A foreign payload's DONE rows at the same gen are a
+    consistency error: the store holds a half-applied generation that
+    meta does not reflect — raise and require compact() rather than
+    stack a second half-applied generation on top."""
+    bid = f"incr-g{gen}-{payload_key}"
+    prefix = f"incr-g{gen}-"
+    foreign = {r["build_id"] for r in lineage.load()
+               if r["build_id"].startswith(prefix)
+               and r["build_id"] != bid and r["status"] == "DONE"}
+    if foreign:
+        raise RuntimeError(
+            f"index store holds partially-applied generation {gen} from a "
+            f"different mutation ({sorted(foreign)[0]}): meta was never "
+            f"bumped, so its steps cannot be distinguished from this "
+            f"mutation's. Run operators.incremental.compact() to repair "
+            f"before applying new mutations.")
+    return bid
+
+
+def _payload_hash(doc_ids) -> str:
+    """Deterministic content identity for a batch: hash of the sorted
+    doc ids (replays of the same files see the same docs)."""
+    import hashlib
+    h = hashlib.sha1()
+    for d in sorted(int(x) for x in doc_ids):
+        h.update(d.to_bytes(8, "little", signed=True))
+    return h.hexdigest()[:12]
+
+
 def _step(lineage, build_id: str, pid: str, fn,
           done: set | None = None) -> None:
     """Run one incremental mutation step with a lineage row (RUNNING →
@@ -96,7 +135,7 @@ def _doc_row(spark: SparkSession, store: IndexStore, doc_id: int):
             .filter(F.col("doc_bucket") == db)  # partition pruning
             .filter(F.col("doc_id") == doc_id)
             .select("doc_id", "url", "url_norm", "host", "path", "text",
-                    "lang").collect())
+                    "lang", "warc_ts").collect())
     return rows[0] if rows else None
 
 
@@ -221,18 +260,20 @@ def _update_doc_tables(spark: SparkSession, store: IndexStore,
                         & (F.col("doc_bucket") == db))  # pruned read
                 .filter(F.col("doc_id") != doc_id)
                 .select("doc_id", "url", "url_norm", "host", "path",
-                        "text", "lang"))
+                        "text", "lang", "warc_ts"))
     if new_row is not None:
         add = spark.createDataFrame(
             [Row(**new_row)],
             "doc_id long, url string, url_norm string, host string, "
-            "path string, text string, lang string")
+            "path string, text string, lang string, warc_ts timestamp")
         docs_cur = docs_cur.unionByName(add)
     # localCheckpoint: the merged partition (which includes full text
     # rows) never round-trips through the driver; the read-path
     # dependency on docs/ is cut before overwriting the same directory.
     out = docs_cur.localCheckpoint()
-    (out.coalesce(1).write.mode("overwrite")
+    (out.coalesce(1)
+     .sortWithinPartitions("host", "doc_id")  # keep host rg-stats tight
+     .write.mode("overwrite")
      .parquet(os.path.join(store.path, "docs",
                            f"host_bucket={hb}", f"doc_bucket={db}")))
 
@@ -252,6 +293,17 @@ def reindex_page(spark: SparkSession, store: IndexStore,
                  page: dict) -> dict:
     """page: {url, warc_ts, html(bytes|None), text(str|None), lang}.
     Returns {doc_id, old_existed, n_terms}."""
+    try:
+        return _reindex_page_body(spark, store, page)
+    except BaseException:
+        # a crashed mutation may have overwritten partitions already —
+        # cached file listings are garbage (see reindex_batch wrapper)
+        store.invalidate_reads()
+        raise
+
+
+def _reindex_page_body(spark: SparkSession, store: IndexStore,
+                       page: dict) -> dict:
     pdf = spark.createDataFrame(
         [(page["url"], page.get("warc_ts"), page.get("html"),
           page.get("text"), page.get("lang"))],
@@ -268,7 +320,7 @@ def reindex_page(spark: SparkSession, store: IndexStore,
     old_counts = Counter(_tokenize_py(old["text"])) if old is not None else Counter()
 
     lineage = _incr_lineage(store)
-    bid = f"incr-g{gen}"
+    bid = _gen_bid(lineage, gen, f"doc{doc_id}")
     # 1. tombstone old generations (delete-if-exists, S9)
     if old is not None:
         _step(lineage, bid, "tombstones",
@@ -284,7 +336,7 @@ def reindex_page(spark: SparkSession, store: IndexStore,
     new_row = {"doc_id": doc_id, "url": prep["url"],
                "url_norm": prep["url_norm"], "host": prep["host"],
                "path": prep["path"], "text": new_text,
-               "lang": prep["lang"]}
+               "lang": prep["lang"], "warc_ts": prep["warc_ts"]}
     new_dl = sum(new_counts.values())
     _step(lineage, bid, "docs",
           lambda: _update_doc_tables(spark, store, doc_id, prep["host"],
@@ -328,6 +380,15 @@ def delete_page(spark: SparkSession, store: IndexStore, url: str) -> dict:
     """Delete a page: tombstone + exact dictionary decrements (the
     reference's PageIndexingUtils.java:46-71, minus its float-truncation
     bug)."""
+    try:
+        return _delete_page_body(spark, store, url)
+    except BaseException:
+        store.invalidate_reads()  # see reindex_batch wrapper
+        raise
+
+
+def _delete_page_body(spark: SparkSession, store: IndexStore,
+                      url: str) -> dict:
     pdf = spark.createDataFrame([(url,)], "url string")
     from ..functions.urlutils import normalize_url
     url_norm = pdf.select(normalize_url(F.col("url")).alias("u")).first()["u"]
@@ -340,7 +401,7 @@ def delete_page(spark: SparkSession, store: IndexStore, url: str) -> dict:
     gen = int(meta.get("gen", 0)) + 1
     old_counts = Counter(_tokenize_py(old["text"]))
     lineage = _incr_lineage(store)
-    bid = f"incr-g{gen}"
+    bid = _gen_bid(lineage, gen, f"del{doc_id}")
     _step(lineage, bid, "tombstones",
           lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]))
     _step(lineage, bid, "terms",
@@ -374,6 +435,22 @@ def delete_page(spark: SparkSession, store: IndexStore, url: str) -> dict:
 
 def reindex_batch(spark: SparkSession, store: IndexStore,
                   raw_pages, idem_key: tuple[str, int] | None = None) -> dict:
+    """See _reindex_batch_body. This wrapper guarantees the store's
+    read caches are dropped even when a mutation DIES mid-way: the
+    crashed attempt may already have overwritten table partitions, so
+    cached file listings are garbage — exactly what a restarted process
+    would not have. (Found by the kill-and-restart stream test: the
+    replay read a pre-crash terms/ listing and hit deleted files.)"""
+    try:
+        return _reindex_batch_body(spark, store, raw_pages, idem_key)
+    except BaseException:
+        store.invalidate_reads()
+        raise
+
+
+def _reindex_batch_body(spark: SparkSession, store: IndexStore,
+                        raw_pages,
+                        idem_key: tuple[str, int] | None = None) -> dict:
     """Distributed bulk reindex: the foreachBatch body of the streaming
     ingest (streaming/ingest.py) and the bulk form of reindex_page.
 
@@ -416,7 +493,17 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
     old_posts = postings_flat(old_docs).persist()
 
     lineage = _incr_lineage(store)
-    bid = f"incr-g{gen}"
+    # payload identity: the stream's (checkpoint path, batch id) when
+    # present — stable across foreachBatch replays — else a content
+    # hash of the batch's doc ids (same input files → same key)
+    if idem_key is not None:
+        import hashlib
+        sid = hashlib.sha1(idem_key[0].encode()).hexdigest()[:12]
+        pkey = f"s{sid}b{idem_key[1]}"
+    else:
+        pkey = "h" + _payload_hash(
+            r["doc_id"] for r in batch_ids.collect())
+    bid = _gen_bid(lineage, gen, pkey)
     done = lineage.done_partitions(bid)  # partial-replay step skip
 
     # --- 1. tombstones for every pre-existing doc. The doc-id list is a
@@ -497,14 +584,18 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
                                   F.lit(store.n_buckets)).cast("int")))
         # merged buckets materialize executor-side (localCheckpoint), not
         # through the driver: the old path collected ~dictionary/32 rows
-        # per touched bucket — the round-1 scale-killer.
-        out = upd.localCheckpoint()
-        _step(lineage, bid, "terms",
-              lambda: (out.write.mode("overwrite")
-                       .option("partitionOverwriteMode", "dynamic")
-                       .partitionBy("bucket")
-                       .parquet(os.path.join(store.path, "terms"))),
-              done=done)
+        # per touched bucket — the round-1 scale-killer. The eager
+        # localCheckpoint is skipped on a replay whose step already
+        # committed (it would recompute the merge against the ALREADY-
+        # MERGED table — wasted work and a double-applied delta frame).
+        if "terms" not in done:
+            out = upd.localCheckpoint()
+            _step(lineage, bid, "terms",
+                  lambda: (out.write.mode("overwrite")
+                           .option("partitionOverwriteMode", "dynamic")
+                           .partitionBy("bucket")
+                           .parquet(os.path.join(store.path, "terms"))),
+                  done=done)
 
     # --- 4. docs + doclens (affected doc buckets). Safe under dynamic
     # overwrite (unlike the single-doc delete path): reindex_batch never
@@ -516,7 +607,7 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
     host_bucket = F.pmod(F.xxhash64(F.col("host")),
                          F.lit(store.n_buckets)).cast("int")
     new_rows = (prep.select("doc_id", "url", "url_norm", "host", "path",
-                            "text", "lang")
+                            "text", "lang", "warc_ts")
                 .withColumn("doc_bucket", doc_bucket)
                 .withColumn("host_bucket", host_bucket))
     dbuckets = [r["doc_bucket"] for r in
@@ -526,30 +617,39 @@ def reindex_batch(spark: SparkSession, store: IndexStore,
     # localCheckpoint (no driver collect): full doc rows INCLUDING text —
     # the round-1 path shipped ~1/n_buckets of the corpus text through
     # the driver per touched bucket; now the merge stays executor-side.
-    out_docs = (keep.select(new_rows.columns).unionByName(new_rows)
-                .localCheckpoint())
-    _step(lineage, bid, "docs",
-          lambda: (out_docs.write.mode("overwrite")
-                   .option("partitionOverwriteMode", "dynamic")
-                   .partitionBy("host_bucket", "doc_bucket")
-                   .parquet(os.path.join(store.path, "docs"))),
-          done=done)
+    # Each eager merge is skipped when a replay finds its step DONE
+    # (the merge would read the already-overwritten partitions).
+    if "docs" not in done:
+        out_docs = (keep.select(new_rows.columns).unionByName(new_rows)
+                    .localCheckpoint())
+        _step(lineage, bid, "docs",
+              lambda: (out_docs
+                       .sortWithinPartitions("host_bucket", "doc_bucket",
+                                             "host", "doc_id")
+                       .write.mode("overwrite")
+                       .option("partitionOverwriteMode", "dynamic")
+                       .partitionBy("host_bucket", "doc_bucket")
+                       .parquet(os.path.join(store.path, "docs"))),
+              done=done)
 
-    new_dls = (spark.createDataFrame(new_dl_rows, "doc_id long, dl int")
-               .withColumn("doc_bucket", doc_bucket))
-    keep_dl = (store.doclens(spark).filter(F.col("doc_bucket").isin(dbuckets))
-               .join(F.broadcast(batch_ids), "doc_id", "left_anti"))
-    merged_dl = (keep_dl
-                 .select("doc_id", F.col("dl").cast("int").alias("dl"),
-                         F.col("doc_bucket").cast("int").alias("doc_bucket"))
-                 .unionByName(new_dls)
-                 .localCheckpoint())
-    _step(lineage, bid, "doclens",
-          lambda: (merged_dl.write.mode("overwrite")
-                   .option("partitionOverwriteMode", "dynamic")
-                   .partitionBy("doc_bucket")
-                   .parquet(os.path.join(store.path, "doclens"))),
-          done=done)
+    if "doclens" not in done:
+        new_dls = (spark.createDataFrame(new_dl_rows, "doc_id long, dl int")
+                   .withColumn("doc_bucket", doc_bucket))
+        keep_dl = (store.doclens(spark)
+                   .filter(F.col("doc_bucket").isin(dbuckets))
+                   .join(F.broadcast(batch_ids), "doc_id", "left_anti"))
+        merged_dl = (keep_dl
+                     .select("doc_id", F.col("dl").cast("int").alias("dl"),
+                             F.col("doc_bucket").cast("int")
+                             .alias("doc_bucket"))
+                     .unionByName(new_dls)
+                     .localCheckpoint())
+        _step(lineage, bid, "doclens",
+              lambda: (merged_dl.write.mode("overwrite")
+                       .option("partitionOverwriteMode", "dynamic")
+                       .partitionBy("doc_bucket")
+                       .parquet(os.path.join(store.path, "doclens"))),
+              done=done)
 
     # --- 5. meta (exact adjustments from the pre-overwrite collections)
     olds_set = set(olds)
@@ -629,9 +729,12 @@ def compact(spark: SparkSession, store: IndexStore,
     generations, merges single-doc append blocks into full runs, resets
     gen to 0 (Iceberg-compaction stand-in)."""
     import shutil
+    # ORIGINAL warc_ts rides through docs/ (format 5): the rebuilt store
+    # carries the same crawl timestamps, so a later upsert pass over
+    # docs ∪ new crawl data keeps preferring genuinely-newer versions
+    # (a synthetic ts could out-rank a real later crawl).
     docs = store.docs(spark).select(
-        "url",
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "url", "warc_ts",
         F.lit(None).cast("binary").alias("html"),
         "text", "lang")
     fresh_dir = store.path + ".compact"

@@ -9,7 +9,8 @@ parquet partition discovery):
                                last_doc,docs:binary,tfs:binary
     <dir>/terms/               term,df,cf,max_tf,bucket
     <dir>/doclens/             doc_id,dl
-    <dir>/docs/                doc_id,url,url_norm,host,path,text,lang
+    <dir>/docs/                doc_id,url,url_norm,host,path,text,lang,
+                               warc_ts (original crawl ts — compact keeps it)
     <dir>/meta.json            n_docs, per-host n, avgdl, params
     <dir>/lineage.jsonl        per-bucket-group lineage rows
 
@@ -50,9 +51,12 @@ BLOCKS_SCHEMA = ("term string, salt int, tier int, block_id int, n int, "
 # block files, n_salt persisted in the terms table, docs/ partitioned by
 # (host_bucket, doc_bucket). 4 = impact-tier column on blocks (tier 0 =
 # hot segment, the WAND seed set) + (term, tier, bound-desc)-sorted
-# bucket files with small row groups. Bumped whenever a reader of the
-# current code would fail or silently degrade on an older layout.
-FORMAT_VERSION = 4
+# bucket files with small row groups. 5 = warc_ts carried through docs/
+# (compact() rebuilds with the ORIGINAL crawl timestamps — a later
+# upsert of an older crawl can no longer lose to a compacted doc whose
+# synthetic ts post-dated it). Bumped whenever a reader of the current
+# code would fail or silently degrade on an older layout.
+FORMAT_VERSION = 5
 
 
 TIER0_POSTINGS = 2048  # per-(term,salt) hot-tier size (≥ 16 blocks)
@@ -167,11 +171,14 @@ class IndexStore:
             self.salt_threshold = int(m.get("salt_threshold", salt_threshold))
             fmt = int(m.get("format", 1))
             if fmt < FORMAT_VERSION:
+                # compact() is NOT a migration path: it opens the store
+                # (which raises here first) and assumes the current docs/
+                # layout — only a from-corpus rebuild works on old stores.
                 raise RuntimeError(
                     f"index store at {path} has on-disk format {fmt} < "
-                    f"{FORMAT_VERSION} (blocks may lack dls/max_imp or "
-                    f"terms may lack n_salt): rebuild required "
-                    f"(IndexStore.build or operators.incremental.compact)")
+                    f"{FORMAT_VERSION} (blocks may lack dls/max_imp/tier or "
+                    f"docs may lack warc_ts): rebuild from the source corpus "
+                    f"required (IndexStore.build over prepare_pages output)")
 
     # ---------------- build ----------------
 
@@ -305,10 +312,16 @@ class IndexStore:
                     host_bucket = F.pmod(F.xxhash64(F.col("host")),
                                          F.lit(self.n_buckets)).cast("int")
                     (prepared.select("doc_id", "url", "url_norm", "host",
-                                     "path", "text", "lang")
+                                     "path", "text", "lang", "warc_ts")
                      .withColumn("doc_bucket", doc_bucket)
                      .withColumn("host_bucket", host_bucket)
                      .repartition(self.n_buckets, F.col("doc_bucket"))
+                     # host-sorted within each file: a single-host read
+                     # (site queries) prunes to the host's row groups
+                     # via parquet min/max stats inside the already
+                     # partition-pruned host_bucket slice
+                     .sortWithinPartitions("host_bucket", "doc_bucket",
+                                           "host", "doc_id")
                      .write.mode("overwrite")
                      .partitionBy("host_bucket", "doc_bucket")
                      .parquet(os.path.join(self.path, "docs")))
@@ -496,9 +509,18 @@ class IndexStore:
         return cache[key]
 
     def invalidate_reads(self) -> None:
+        self.close()  # fd lifecycle: close handles BEFORE dropping memos
         self._read_cache = {}
         self._terms_row_cache = {}
-        self._serve_cache = {}  # serving-tier pyarrow handles + memos
+        self._serve_cache = {}  # serving-tier pyarrow memos
+
+    def close(self) -> None:
+        """Close every memoized serving-tier ParquetFile handle. A
+        long-lived service should call this on shutdown (or rely on
+        invalidate_reads after mutations); reads after close() reopen
+        handles transparently."""
+        from .serving import close_files
+        close_files(self)
 
     def blocks(self, spark: SparkSession) -> DataFrame:
         return self._cached(spark, "blocks")
@@ -562,11 +584,12 @@ class IndexStore:
             return i < arr.size and int(arr[i]) <= ld
 
         ids_out, tfs_out, dls_out = [], [], []
+        n_blocks = n_postings = 0
         meta_cols = ["term", "salt", "gen", "first_doc", "last_doc"]
-        for fn in sorted(os.listdir(bdir)):
-            if not fn.endswith(".parquet"):
-                continue
-            pf = pq.ParquetFile(os.path.join(bdir, fn))
+        from .serving import _bucket_files
+        # memoized handles (closed via close()/invalidate_reads) — a
+        # per-call open would leak one fd per file until GC
+        for pf in _bucket_files(self, "blocks", b):
             md = pf.metadata
             tcol = next(i for i in range(md.num_columns)
                         if md.schema.column(i).name == "term")
@@ -602,11 +625,17 @@ class IndexStore:
                         btbl.column("docs")[j].as_py(),
                         btbl.column("tfs")[j].as_py(),
                         btbl.column("dls")[j].as_py())
+                    n_blocks += 1
+                    n_postings += int(d.size)
                     keep = np.isin(d, cand_all, assume_unique=False)
                     if keep.any():
                         ids_out.append(d[keep])
                         tfs_out.append(t[keep])
                         dls_out.append(dl[keep])
+        # decode-volume telemetry for profiling (jobs/query_profile.py):
+        # how much of the term's list a point lookup actually touched
+        self._last_lookup_stats = {"blocks_decoded": n_blocks,
+                                   "postings_decoded": n_postings}
         if not ids_out:
             empty = np.empty(0, np.int64)
             return empty, empty, empty

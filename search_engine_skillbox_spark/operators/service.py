@@ -74,26 +74,26 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
             and _os.environ.get("SPARK_GRAFT_NO_SERVING") != "1"):
         from .serving import serve_match_count
         total = serve_match_count(store, q_terms, site or None)
-    if total is not None:
-        pass
-    elif not trows:
-        total = 0
-    elif site:
-        from .wand import live_docids
-        from ..functions.hashing import term_bucket
-        hb = term_bucket(site, store.n_buckets)
-        dhost = (store.docs(spark)
-                 .filter(F.col("host_bucket") == hb)  # partition pruning
-                 .filter(F.col("host") == site).select("doc_id"))
-        total = (live_docids(spark, store,
-                             store.query_blocks(spark, q_terms))
-                 .join(dhost, "doc_id").distinct().count())
-    elif len(trows) == 1 and len(q_terms) == 1 and not has_tomb:
-        total = trows[0]["df"]
-    else:
-        from .wand import live_docids
-        total = (live_docids(spark, store, store.query_blocks(spark, q_terms))
-                 .distinct().count())
+    if total is None:  # distributed fallback (serving declined / off)
+        if not trows:
+            total = 0
+        elif site:
+            from .wand import live_docids
+            from ..functions.hashing import term_bucket
+            hb = term_bucket(site, store.n_buckets)
+            dhost = (store.docs(spark)
+                     .filter(F.col("host_bucket") == hb)  # partition pruning
+                     .filter(F.col("host") == site).select("doc_id"))
+            total = (live_docids(spark, store,
+                                 store.query_blocks(spark, q_terms))
+                     .join(dhost, "doc_id").distinct().count())
+        elif len(trows) == 1 and len(q_terms) == 1 and not has_tomb:
+            total = trows[0]["df"]
+        else:
+            from .wand import live_docids
+            total = (live_docids(spark, store,
+                                 store.query_blocks(spark, q_terms))
+                     .distinct().count())
     if offset > total:
         return {"result": False, "count": 0, "data": []}
 

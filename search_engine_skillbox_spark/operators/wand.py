@@ -134,9 +134,20 @@ def live_docids(spark: SparkSession, store: IndexStore,
             .select("doc_id"))
 
 
+# distributed site path: a term's blocks are gathered via the host
+# range semi-join (decode only blocks covering a host doc) once its
+# global list is this many times bigger than the site
+SITE_LOOKUP_FACTOR_DIST = 64
+# host doc sets larger than this are not broadcast into the semi-join
+# (full decode is then the cheaper plan anyway: df/|site| small)
+SITE_HIT_JOIN_CAP = 4_000_000
+
+
 def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
               k: int, host: str, mode: str = "compat",
-              serving: bool = True) -> DataFrame:
+              serving: bool = True,
+              lookup_factor: int = SITE_LOOKUP_FACTOR_DIST,
+              debug: dict | None = None) -> DataFrame:
     """T9/J2: site-filtered exact top-k served FROM the physical index
     (no per-site rebuild).
 
@@ -146,33 +157,37 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
 
       1. N(site) comes from the per-host doc counts persisted at build
          time (meta.json n_docs_by_host) — zero jobs.
-      2. Candidates = decoded postings of the query terms only
-         (partition-pruned blocks scan), inner-joined to the doc_ids of
-         the host — read from docs/ with host_bucket PARTITION PRUNING
-         (docs/ is partitioned by (host_bucket, doc_bucket)), then a
-         pushed host filter inside the 1/n_buckets slice. Candidate
-         cost is bounded by Σ df of the query terms; the dimension side
-         by the host-bucket slice, never the whole corpus.
+      2. Candidates per query term, by the cheaper of two EXACT plans:
+         site-sized terms decode their (partition-pruned) posting
+         blocks and inner-join the host's doc_ids — read from docs/
+         with host_bucket PARTITION PRUNING (docs/ is partitioned by
+         (host_bucket, doc_bucket)) plus a pushed host filter.
+         Stopword-scale terms (df ≫ |site|) instead SEMI-JOIN their
+         block metadata against the broadcast host doc set on
+         [first_doc, last_doc] coverage + gen-0 salt identity — each
+         host doc lives in exactly one salt, so only ~1 block per host
+         doc per tier survives to be decoded. A site+stopword query
+         then decodes O(|site|) postings, not the stopword's global
+         list (the round-3 scale-killer; global block-max bounds
+         cannot tighten a within-site θ, so THIS — not bound pruning —
+         is the site path's pruning lever).
       3. Within-site df per term = countDistinct(doc) over those
          candidates (the reference's countDocsByLemmaAndSite).
       4. idf from (df_site, N_site); OR-sum score; exact top-k.
-
-    Block-max pruning is skipped here: per-block max_tf bounds are
-    global, not per-host, so they cannot tighten θ within a site; the
-    candidate set is already term-pruned, which is the dominant filter.
     """
     empty = "doc_id long, score double"
     if not q_terms:
         return spark.createDataFrame([], empty)
 
     # serving tier (operators/serving.py): bounded site queries answer
-    # driver-side — host-bucket docs slice point read + query-term
-    # decode, zero Spark jobs; None on any bound breach → the
-    # distributed partition-pruned path below
+    # driver-side — host-bucket docs slice point read + per-term
+    # decode-or-point-lookup, zero Spark jobs; None on any bound
+    # breach → the distributed partition-pruned path below
     if (serving and not store.has_tombstones()
             and os.environ.get("SPARK_GRAFT_NO_SERVING") != "1"):
         from .serving import serve_site_topk
-        served = serve_site_topk(store, q_terms, k, host, mode)
+        served = serve_site_topk(store, q_terms, k, host, mode,
+                                 debug=debug)
         if served is not None:
             return spark.createDataFrame(
                 [(int(d), float(s)) for d, s in served], empty)
@@ -181,18 +196,49 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
     n_site = int(meta.get("n_docs_by_host", {}).get(host, 0))
     if n_site <= 0:
         return spark.createDataFrame([], empty)
-    present = [r["term"] for r in store.query_terms_rows(spark, q_terms)]
+    trows = store.query_terms_rows(spark, q_terms)
+    present = [r["term"] for r in trows]
     if not present:
         return spark.createDataFrame([], empty)
+    df_g = {r["term"]: int(r["df"]) for r in trows}
+    n_salt0 = {r["term"]: max(1, int(r["n_salt"])) for r in trows}
 
     from ..functions.hashing import term_bucket
     hb = term_bucket(host, store.n_buckets)  # driver-side, zero jobs
     dhost = (store.docs(spark)
              .filter(F.col("host_bucket") == hb)  # partition pruning
              .filter(F.col("host") == host)
-             .select("doc_id"))
+             .select("doc_id")).persist()
+    heavy = [t for t in present
+             if df_g[t] > lookup_factor * n_site
+             and n_site <= SITE_HIT_JOIN_CAP]
+    light = [t for t in present if t not in heavy]
+    if debug is not None:
+        debug["site_dist"] = {"heavy": list(heavy), "light": list(light)}
     qblocks = store.query_blocks(spark, present)
-    cand = live_postings(spark, store, qblocks).join(dhost, "doc_id").persist()
+    gathered = []
+    if light:
+        lblocks = qblocks.filter(F.col("term").isin(light))
+        gathered.append(live_postings(spark, store, lblocks))
+    for t in heavy:
+        # block-coverage semi-join: decode ONLY blocks whose doc range
+        # covers a host doc in that doc's gen-0 salt (appends, gen>0,
+        # match on range alone — they always use salt 0)
+        cs = dhost.withColumn(
+            "csalt", F.pmod(F.xxhash64("doc_id"),
+                            F.lit(n_salt0[t])).cast("int"))
+        hit = (qblocks.filter(F.col("term") == t).alias("b")
+               .join(F.broadcast(cs).alias("c"),
+                     (F.col("b.first_doc") <= F.col("c.doc_id"))
+                     & (F.col("c.doc_id") <= F.col("b.last_doc"))
+                     & ((F.col("b.gen") != 0)
+                        | (F.col("b.salt") == F.col("c.csalt"))),
+                     "left_semi"))
+        gathered.append(live_postings(spark, store, hit))
+    allp = gathered[0]
+    for g in gathered[1:]:
+        allp = allp.unionAll(g)
+    cand = allp.join(dhost, "doc_id").persist()
     try:
         site_df = {r["term"]: r["df"] for r in
                    cand.groupBy("term")
@@ -213,6 +259,7 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         return spark.createDataFrame(rows, empty)
     finally:
         cand.unpersist()
+        dhost.unpersist()
 
 
 EXHAUSTIVE_POSTINGS_BUDGET = 200_000

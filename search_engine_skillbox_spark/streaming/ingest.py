@@ -43,7 +43,12 @@ def stream_pages(spark: SparkSession, store: IndexStore, input_dir: str,
            .parquet(input_dir))
 
     stats: list[dict] = []
-    stream_id = os.path.basename(os.path.normpath(checkpoint_dir))
+    # stream identity = the FULL normalized checkpoint path: two streams
+    # whose checkpoint dirs merely share a basename (".../jobA/checkpoint"
+    # vs ".../jobB/checkpoint") must not collide in meta stream_progress —
+    # a collision misclassifies the second stream's batches as committed
+    # replays and silently drops them.
+    stream_id = os.path.abspath(os.path.normpath(checkpoint_dir))
 
     def _fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -131,14 +131,18 @@ def test_consistency_and_lineage(spark, store):
     with open(os.path.join(store.path, "lineage.jsonl")) as f:
         rows = [json.loads(line) for line in f]
     incr = [r for r in rows if r["build_id"].startswith("incr-g")]
-    assert {r["build_id"] for r in incr} == {"incr-g1", "incr-g2", "incr-g3"}
+    # build_id = incr-g<gen>-<payload identity> (same-payload replays
+    # skip DONE steps; a foreign payload at the same gen raises)
+    gens = {r["build_id"].split("-")[1] for r in incr}
+    assert gens == {"g1", "g2", "g3"}
     by_gen_done = {}
     for r in incr:
         if r["status"] == "DONE":
-            by_gen_done.setdefault(r["build_id"], set()).add(r["partition_id"])
-    assert by_gen_done["incr-g1"] == {"tombstones", "blocks", "terms", "docs"}
-    assert by_gen_done["incr-g2"] == {"blocks", "terms", "docs"}  # brand new
-    assert by_gen_done["incr-g3"] == {"tombstones", "terms", "docs"}  # delete
+            g = r["build_id"].split("-")[1]
+            by_gen_done.setdefault(g, set()).add(r["partition_id"])
+    assert by_gen_done["g1"] == {"tombstones", "blocks", "terms", "docs"}
+    assert by_gen_done["g2"] == {"blocks", "terms", "docs"}  # brand new
+    assert by_gen_done["g3"] == {"tombstones", "terms", "docs"}  # delete
     assert not [r for r in incr if r["status"] == "FAILED"]
 
 
@@ -153,7 +157,7 @@ def test_no_scaling_collects():
                inc._write_tombstones):
         assert ".collect()" not in inspect.getsource(fn), fn.__name__
     # reindex_batch: merges go through localCheckpoint, never the driver
-    src = inspect.getsource(inc.reindex_batch)
+    src = inspect.getsource(inc._reindex_batch_body)
     assert "localCheckpoint" in src
     for banned in ("upd.collect", "merged_docs.collect", "merged.collect",
                    ".unionByName(new_rows)\n        .collect"):
@@ -298,6 +302,24 @@ def test_statistics_from_lineage_and_meta(spark, store):
                for d in stats["statistics"]["detailed"])
 
 
+def test_foreign_partial_generation_raises(spark, store):
+    """ADVICE r3: done-step skipping is keyed by (gen, payload). A
+    half-applied generation from a DIFFERENT payload (crash before the
+    meta bump) must raise — silently skipping this mutation's appends
+    because a foreign mutation's step rows say DONE would lose
+    postings."""
+    import os
+
+    from search_engine_skillbox_spark.plans.checkpoint import Lineage
+    lin = Lineage(os.path.join(store.path, "lineage.jsonl"))
+    # simulate: some OTHER mutation crashed at gen 1 after its blocks
+    # step committed but before the meta write (gen still 0 in meta)
+    t0 = lin.start("incr-g1-doc424242", "blocks")
+    lin.done("incr-g1-doc424242", "blocks", t0, rows=0, nbytes=0)
+    with pytest.raises(RuntimeError, match="compact"):
+        reindex_page(spark, store, NEW_PAGE)
+
+
 def test_delete_last_doc_of_partition_clears_row(spark, store):
     """The direct partition overwrite must CLEAR a docs/ partition whose
     last doc is deleted (dynamic overwrite can't) — otherwise a later
@@ -313,3 +335,49 @@ def test_delete_last_doc_of_partition_clears_row(spark, store):
         check_consistency)
     rep = check_consistency(spark, store)
     assert rep["consistent"], rep
+
+
+def test_compact_carries_original_warc_ts(spark, store):
+    """VERDICT r3 #5: docs/ carries the ORIGINAL warc_ts (format 5), so
+    compact() rebuilds with real crawl timestamps — a later upsert pass
+    over compacted docs ∪ an OLDER crawl of the same url must keep the
+    newer stored version — and compacting twice is state-stable."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from search_engine_skillbox_spark.sources.pages import prepare_pages
+    reindex_page(spark, store, NEW_PAGE)  # warc_ts 2025-01-01
+    compact(spark, store)
+    row = (store.docs(spark)
+           .filter(F.col("url") == NEW_PAGE["url"])
+           .select("warc_ts", "text").first())
+    assert row["warc_ts"] == NEW_PAGE["warc_ts"]  # not a synthetic ts
+
+    # upsert re-run: compacted docs ∪ an older crawl of the same url →
+    # the stored (newer) version must win the max_by(warc_ts) upsert
+    stale = spark.createDataFrame(
+        [(NEW_PAGE["url"], dt.datetime(2020, 1, 1), None,
+          "stale resurrected text", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    raw = (store.docs(spark)
+           .select("url", "warc_ts", F.lit(None).cast("binary")
+                   .alias("html"), "text", "lang")
+           .unionByName(stale))
+    merged = prepare_pages(raw)
+    kept = (merged.filter(F.col("url_norm").contains("/page/6"))
+            .select("text").first())
+    assert "zanzibar" in kept["text"] and "stale" not in kept["text"]
+
+    # compact twice → identical flat postings + docs content
+    flat1 = _live_flat(spark, store)
+    docs1 = {(r["doc_id"], r["text"], r["warc_ts"])
+             for r in store.docs(spark)
+             .select("doc_id", "text", "warc_ts").collect()}
+    compact(spark, store)
+    assert _live_flat(spark, store) == flat1
+    docs2 = {(r["doc_id"], r["text"], r["warc_ts"])
+             for r in store.docs(spark)
+             .select("doc_id", "text", "warc_ts").collect()}
+    assert docs2 == docs1

@@ -259,3 +259,25 @@ def test_wand_arrow_lookup_equals_plain(spark, store, index_frames, mode,
         for d, tf_, dl_ in zip(ids_a.tolist(), tfs_a.tolist(),
                                dls_a.tolist()):
             assert truth[d] == (tf_, dl_)
+
+
+def test_site_topk_distributed_semi_join_equals_full(spark, store,
+                                                     qterms_idx):
+    """VERDICT r3 #1 (distributed half): forcing every term through the
+    block-coverage semi-join (lookup_factor=0) must stay value-identical
+    to the full-decode distributed plan — a site+stopword query then
+    decodes only blocks covering the host's docs."""
+    from search_engine_skillbox_spark.operators.wand import site_topk
+    host = "alpha.test"
+    want = [(r["doc_id"], r["score"]) for r in
+            site_topk(spark, store, qterms_idx, 10, host, serving=False,
+                      lookup_factor=10**9).collect()]
+    dbg: dict = {}
+    got = [(r["doc_id"], r["score"]) for r in
+           site_topk(spark, store, qterms_idx, 10, host, serving=False,
+                     lookup_factor=0, debug=dbg).collect()]
+    assert dbg["site_dist"]["heavy"], "semi-join branch must engage"
+    assert not dbg["site_dist"]["light"]
+    assert len(got) == len(want) > 0
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd)

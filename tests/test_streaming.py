@@ -81,3 +81,75 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     r3 = reindex_batch(spark, st, batch2, idem_key=("ckpt-a", 1))
     assert not r3.get("replayed")
     assert st.meta()["gen"] == meta1["gen"] + 1
+
+
+def test_stream_kill_and_restart_from_checkpoint(spark, tmp_path,
+                                                 monkeypatch):
+    """VERDICT r3 #3: a REAL readStream killed mid-batch (some lineage
+    steps DONE, meta never bumped) and restarted from the checkpoint
+    must converge to exactly the clean-batch-build state. The crash is
+    injected at the start of the incremental 'docs' step — after
+    tombstones/blocks/terms committed, before docs/doclens/meta — the
+    window where a replay must skip the DONE steps (same payload key)
+    and finish the rest."""
+    import pytest as _pytest
+
+    from search_engine_skillbox_spark.plans import checkpoint as CP
+
+    first = C.pages_df(spark, 100, partitions=2)
+    st = IndexStore(str(tmp_path / "kidx"), n_buckets=8, salt_threshold=100)
+    st.build(spark, prepare_pages(first), checkpoint_groups=1)
+
+    inc_dir = str(tmp_path / "kin")
+    (C.pages_df(spark, 140, partitions=2)
+     .where("warc_ts >= timestamp'2024-01-01 01:40:00'")
+     .write.mode("append").parquet(inc_dir))
+    (C.pages_df(spark, 20, seed=77, partitions=1)
+     .where("warc_ts >= timestamp'2024-01-01 00:05:00'")
+     .write.mode("append").parquet(inc_dir))
+
+    orig_start = CP.Lineage.start
+    state = {"armed": True}
+
+    def crash_at_docs(self, build_id, partition_id):
+        if (state["armed"] and partition_id == "docs"
+                and build_id.startswith("incr-")):
+            state["armed"] = False
+            raise RuntimeError("synthetic mid-batch kill")
+        return orig_start(self, build_id, partition_id)
+
+    monkeypatch.setattr(CP.Lineage, "start", crash_at_docs)
+    ckpt = str(tmp_path / "kckpt")
+    with _pytest.raises(Exception, match="synthetic mid-batch kill"):
+        stream_pages(spark, st, inc_dir, ckpt)
+    # crash landed mid-generation: meta gen unchanged, blocks appended
+    assert st.meta().get("gen", 0) == 0
+
+    # restart from the same checkpoint: Structured Streaming re-delivers
+    # the uncommitted batch; the replay (same payload key) must skip the
+    # DONE steps and complete docs/doclens/meta
+    monkeypatch.setattr(CP.Lineage, "start", orig_start)
+    stats = stream_pages(spark, st, inc_dir, ckpt)
+    assert stats and sum(s["batch_docs"] for s in stats) > 0
+
+    # final state ≡ a clean batch build over the same final corpus
+    import pandas as pd
+    rows = [C.make_page(42, i) for i in range(140)]
+    for i in range(5, 20):
+        rows[i] = C.make_page(77, i)
+    exp = spark.createDataFrame(pd.DataFrame(rows), C.PAGES_SCHEMA)
+    st2 = IndexStore(str(tmp_path / "kbatch"), n_buckets=8,
+                     salt_threshold=100)
+    st2.build(spark, prepare_pages(exp), checkpoint_groups=1)
+    assert _flat(spark, st) == _flat(spark, st2)
+    m1, m2 = st.meta(), st2.meta()
+    assert m1["n_docs"] == m2["n_docs"]
+    assert m1["sum_dl"] == m2["sum_dl"]
+    assert abs(m1["avgdl"] - m2["avgdl"]) < 1e-9
+    # and the streamed store still searches identically on both paths
+    from search_engine_skillbox_spark.operators.wand import wand_topk
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         wand_topk(spark, st, ["merge", "join"], 10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         wand_topk(spark, st2, ["merge", "join"], 10).collect()]
+    assert a == b
