@@ -65,7 +65,11 @@ def spark_submit(cpus: int, script: str, *args: str) -> dict:
         os.path.join(REPO, script), *args,
     ]
     t0 = time.time()
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    # 16M-doc builds at 2 cores run ~2h — the per-run ceiling must be
+    # configurable (SCALE_TIMEOUT seconds, default 1h)
+    res = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=int(os.environ.get("SCALE_TIMEOUT",
+                                                    "3600")))
     wall = time.time() - t0
     line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
     if not line:

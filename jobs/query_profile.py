@@ -107,8 +107,8 @@ def main() -> None:
             sc.setJobGroup(group, label)
             dbg: dict = {}
             t0 = time.time()
-            site_topk(spark, store, [heavy, mid, rare], args.k, "compat",
-                      debug=dbg).collect()
+            site_topk(spark, store, [heavy, mid, rare], args.k, host,
+                      "compat", debug=dbg).collect()
             dt = time.time() - t0
             jobs = len(sc.statusTracker().getJobIdsForGroup(group))
             sc.setJobGroup("", "")

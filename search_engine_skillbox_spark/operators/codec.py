@@ -141,6 +141,48 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         }
 
 
+def decode_blocks_batch(docs_bufs: list, tfs_bufs: list, dls_bufs: list,
+                        ns) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY posting blocks in three vectorized varint passes
+    (one per column) instead of 3·n_blocks `varint_decode` calls.
+
+    A full-list decode (large-site serving: blocks hold ~BLOCK_SIZE
+    postings, so a stopword is tens of thousands of blocks) is
+    varint-CALL-bound per-block — the per-call fixed cost dominates the
+    byte volume. Concatenating the buffers amortizes it: one pass over
+    the joined docs stream, then a segmented cumsum rebuilds absolute
+    doc ids (each block's first value is zigzagged; deltas after).
+
+    ns: posting count per block, in buffer order (block metadata `n`).
+    Returns CONCATENATED (doc_ids, tfs, dls); equality with per-block
+    `decode_block` is pinned by tests/test_codec_property.py.
+    """
+    ns = np.asarray(ns, np.int64)
+    total = int(ns.sum())
+    docs_all = varint_decode(b"".join(docs_bufs))
+    tfs_all = varint_decode(b"".join(tfs_bufs)).astype(np.int64)
+    dls_all = varint_decode(b"".join(dls_bufs)).astype(np.int64)
+    if docs_all.size != total or tfs_all.size != total:
+        raise ValueError("block `n` metadata disagrees with varint stream")
+    starts = np.zeros(ns.size, np.int64)
+    if ns.size > 1:
+        np.cumsum(ns[:-1], out=starts[1:])
+    # zigzag-decode each block's first value in uint64 (modular), then
+    # REINTERPRET the whole stream as int64: deltas are small positive
+    # (bit pattern unchanged), firsts land on their two's-complement
+    # signed value — same semantics as decode_block's scalar path
+    z = docs_all[starts]
+    docs_all[starts] = (z >> np.uint64(1)) ^ (~(z & np.uint64(1))
+                                              + np.uint64(1))
+    d = docs_all.view(np.int64)
+    with np.errstate(over="ignore"):  # wraps cancel in the correction
+        c = np.cumsum(d)
+        corr = np.zeros(ns.size, np.int64)
+        corr[1:] = c[starts[1:] - 1]
+        doc_ids = c - np.repeat(corr, ns)
+    return doc_ids, tfs_all, dls_all
+
+
 def decode_block(docs_bytes: bytes, tfs_bytes: bytes,
                  dls_bytes: bytes | None = None):
     """→ (doc_ids int64 sorted, tfs int64) or, with dls_bytes,

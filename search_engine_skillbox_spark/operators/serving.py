@@ -41,7 +41,7 @@ import os
 import numpy as np
 
 from . import score as S
-from .codec import decode_block
+from .codec import decode_blocks_batch
 from .index_store import IndexStore
 
 # Hard read bounds for the serving path (per query). Exceeding any of
@@ -67,6 +67,13 @@ TERMS_BUCKET_ROWS_CAP = 5_000_000
 # docs/ host-bucket slices larger than this are left to the
 # distributed site path (partition-pruned Spark scan)
 SITE_SLICE_CAP = 4_000_000
+# site queries get a larger decode budget than the global path: when a
+# host is a large fraction of the corpus (df comparable to |site|, so
+# the point-lookup strategy doesn't apply), the EXACT plan is a full
+# decode + isin against the host slice — still a bounded, sequential
+# driver read (~8M postings ≈ 160 MB transient numpy), and ~5-10×
+# faster than the distributed fallback whose cost is per-job scheduling
+SITE_DECODE_CAP = 8_000_000
 
 META_COLS = ["term", "salt", "tier", "gen", "n", "max_tf",
              "first_doc", "last_doc", "max_imp"]
@@ -233,7 +240,9 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]]):
     results = []
     for tm, mask in metas:
         rows_sel = np.flatnonzero(mask)
-        ids_l, tfs_l, dls_l = [], [], []
+        docs_bufs: list = []
+        tfs_bufs: list = []
+        dls_bufs: list = []
         if rows_sel.size:
             files = _bucket_files(store, "blocks", tm["bucket"])
             order = np.lexsort((tm["row"][rows_sel], tm["rg"][rows_sel],
@@ -251,18 +260,18 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]]):
                 take = tm["row"][rows_sel[i:j]]
                 btbl = files[fi].read_row_group(
                     rg, columns=["docs", "tfs", "dls"]).take(take)
-                for r in range(len(take)):
-                    d, t, dl = decode_block(
-                        btbl.column("docs")[r].as_py(),
-                        btbl.column("tfs")[r].as_py(),
-                        btbl.column("dls")[r].as_py())
-                    ids_l.append(d)
-                    tfs_l.append(t)
-                    dls_l.append(dl)
+                docs_bufs.extend(btbl.column("docs").to_pylist())
+                tfs_bufs.extend(btbl.column("tfs").to_pylist())
+                dls_bufs.extend(btbl.column("dls").to_pylist())
                 i = j
-        if ids_l:
-            results.append((np.concatenate(ids_l), np.concatenate(tfs_l),
-                            np.concatenate(dls_l)))
+        if docs_bufs:
+            # one vectorized pass over the joined streams — per-block
+            # decode_block calls are call-overhead-bound at full-list
+            # scale (a stopword is tens of thousands of ~128-posting
+            # blocks); rows_sel is already in buffer order after the
+            # lexsort, so metadata `n` aligns with the buffers
+            results.append(decode_blocks_batch(
+                docs_bufs, tfs_bufs, dls_bufs, tm["n"][rows_sel]))
         else:
             e = np.empty(0, np.int64)
             results.append((e, e, e))
@@ -450,7 +459,7 @@ def serve_site_topk(store: IndexStore, q_terms: list[str], k: int,
     if host_ids.size == 0:
         return []
     idf_py = S.idf_compat_py if mode == "compat" else S.idf_bm25_py
-    budget = [DECODE_CAP]
+    budget = [SITE_DECODE_CAP]
     parts_i, parts_c = [], []
     for t in present:
         got = _site_term_postings(store, t, tmap[t], host_ids, budget,

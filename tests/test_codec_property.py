@@ -37,3 +37,34 @@ def test_block_roundtrip(ids, tfs):
         out_tfs.append(t)
     assert (np.concatenate(out_ids) == doc_ids).all()
     assert (np.concatenate(out_tfs) == tf).all()
+
+
+@given(st.lists(i64, min_size=1, max_size=800, unique=True),
+       st.data())
+@settings(max_examples=100)
+def test_batch_decode_equals_per_block(ids, data):
+    """decode_blocks_batch (one vectorized varint pass over the joined
+    streams + segmented cumsum) must be bit-identical to per-block
+    decode_block — including negative/extreme first-doc zigzag values
+    that exercise the modular-wrap correction."""
+    from search_engine_skillbox_spark.operators.codec import (
+        decode_blocks_batch)
+    doc_ids = np.sort(np.array(ids, np.int64))
+    n = doc_ids.size
+    tf = np.array(data.draw(st.lists(st.integers(1, 10 ** 6),
+                                     min_size=n, max_size=n)), np.int64)
+    dl = np.array(data.draw(st.lists(st.integers(1, 10 ** 5),
+                                     min_size=n, max_size=n)), np.int64)
+    blocks = list(encode_postings(doc_ids, tf, dls=dl, avgdl=100.0))
+    # batch over a SHUFFLED block order too: serving decodes blocks in
+    # (file, row-group, row) order, not necessarily doc order
+    for order in (list(range(len(blocks))),
+                  data.draw(st.permutations(list(range(len(blocks)))))):
+        bs = [blocks[i] for i in order]
+        got_d, got_t, got_l = decode_blocks_batch(
+            [b["docs"] for b in bs], [b["tfs"] for b in bs],
+            [b["dls"] for b in bs], [b["n"] for b in bs])
+        exp = [decode_block(b["docs"], b["tfs"], b["dls"]) for b in bs]
+        assert (got_d == np.concatenate([e[0] for e in exp])).all()
+        assert (got_t == np.concatenate([e[1] for e in exp])).all()
+        assert (got_l == np.concatenate([e[2] for e in exp])).all()
