@@ -73,8 +73,15 @@ def spark_submit(cpus: int, script: str, *args: str) -> dict:
     wall = time.time() - t0
     line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
     if not line:
+        # keep the FULL logs: a 2h run's root exception (e.g. the first
+        # OOM) scrolls far past any tail-sized excerpt
+        dump = tempfile.mkstemp(prefix="scale_fail_", suffix=".log")[1]
+        with open(dump, "w") as f:
+            f.write(" ".join(cmd) + "\n--- stdout ---\n" + res.stdout
+                    + "\n--- stderr ---\n" + res.stderr)
         sys.stderr.write(res.stdout[-2000:] + res.stderr[-4000:])
-        raise RuntimeError(f"no JSON from {script} at local[{cpus}]")
+        raise RuntimeError(
+            f"no JSON from {script} at local[{cpus}] (full log: {dump})")
     out = json.loads(line[-1])
     out["wall_sec"] = round(wall, 1)
     out["cmd"] = " ".join(cmd)
