@@ -162,7 +162,8 @@ def decode_blocks_batch(docs_bufs: list, tfs_bufs: list, dls_bufs: list,
     docs_all = varint_decode(b"".join(docs_bufs))
     tfs_all = varint_decode(b"".join(tfs_bufs)).astype(np.int64)
     dls_all = varint_decode(b"".join(dls_bufs)).astype(np.int64)
-    if docs_all.size != total or tfs_all.size != total:
+    if (docs_all.size != total or tfs_all.size != total
+            or dls_all.size != total):
         raise ValueError("block `n` metadata disagrees with varint stream")
     starts = np.zeros(ns.size, np.int64)
     if ns.size > 1:

@@ -98,13 +98,20 @@ def _gen_bid(lineage, gen: int, payload_key: str) -> str:
     return bid
 
 
-def _payload_hash(doc_ids) -> str:
-    """Deterministic content identity for a batch: hash of the sorted
-    doc ids (replays of the same files see the same docs)."""
+def _payload_hash(id_content_pairs) -> str:
+    """Deterministic CONTENT identity for a batch: hash of the sorted
+    (doc_id, text_hash) pairs. Hashing ids alone is not enough — a
+    retry of the same urls with a FRESHER crawl has the same doc_ids
+    but different postings, and done-step skipping across the two would
+    stitch half of each content into one generation (blocks from the
+    old text, docs/ from the new). With content in the key, that retry
+    sees a foreign half-applied generation and raises (compact to
+    repair) instead."""
     import hashlib
     h = hashlib.sha1()
-    for d in sorted(int(x) for x in doc_ids):
+    for d, th in sorted((int(a), int(b)) for a, b in id_content_pairs):
         h.update(d.to_bytes(8, "little", signed=True))
+        h.update(th.to_bytes(8, "little", signed=True))
     return h.hexdigest()[:12]
 
 
@@ -320,18 +327,28 @@ def _reindex_page_body(spark: SparkSession, store: IndexStore,
     old_counts = Counter(_tokenize_py(old["text"])) if old is not None else Counter()
 
     lineage = _incr_lineage(store)
-    bid = _gen_bid(lineage, gen, f"doc{doc_id}")
+    # content-keyed payload (same rationale as _payload_hash): a retry
+    # of the same url with DIFFERENT text must not done-skip into a
+    # mixed generation — it raises as a foreign half-applied gen instead
+    import hashlib
+    bid = _gen_bid(lineage, gen,
+                   f"doc{doc_id}-"
+                   + hashlib.sha1(new_text.encode()).hexdigest()[:12])
+    done = lineage.done_partitions(bid)  # same-payload crash replay
     # 1. tombstone old generations (delete-if-exists, S9)
     if old is not None:
         _step(lineage, bid, "tombstones",
-              lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]))
+              lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]),
+              done=done)
     # 2. append new postings as generation `gen`
     _step(lineage, bid, "blocks",
           lambda: _append_blocks(spark, store, doc_id, new_counts, gen,
-                                 float(meta.get("avgdl", 0.0))))
+                                 float(meta.get("avgdl", 0.0))),
+          done=done)
     # 3. exact dictionary deltas
     _step(lineage, bid, "terms",
-          lambda: _update_terms(spark, store, old_counts, new_counts))
+          lambda: _update_terms(spark, store, old_counts, new_counts),
+          done=done)
     # 4. docs/doclens row replacement
     new_row = {"doc_id": doc_id, "url": prep["url"],
                "url_norm": prep["url_norm"], "host": prep["host"],
@@ -340,7 +357,8 @@ def _reindex_page_body(spark: SparkSession, store: IndexStore,
     new_dl = sum(new_counts.values())
     _step(lineage, bid, "docs",
           lambda: _update_doc_tables(spark, store, doc_id, prep["host"],
-                                     new_row, new_dl))
+                                     new_row, new_dl),
+          done=done)
     # 5. meta: n_docs / avgdl / gen
     old_dl = sum(old_counts.values())
     meta["gen"] = gen
@@ -402,13 +420,20 @@ def _delete_page_body(spark: SparkSession, store: IndexStore,
     old_counts = Counter(_tokenize_py(old["text"]))
     lineage = _incr_lineage(store)
     bid = _gen_bid(lineage, gen, f"del{doc_id}")
+    done = lineage.done_partitions(bid)  # same-payload crash replay:
+    # the terms decrement is non-idempotent — re-running it on a retry
+    # would subtract the doc's df/cf twice (deletes are content-free, so
+    # the bare doc_id payload is already a complete identity here)
     _step(lineage, bid, "tombstones",
-          lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]))
+          lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]),
+          done=done)
     _step(lineage, bid, "terms",
-          lambda: _update_terms(spark, store, old_counts, Counter()))
+          lambda: _update_terms(spark, store, old_counts, Counter()),
+          done=done)
     _step(lineage, bid, "docs",
           lambda: _update_doc_tables(spark, store, doc_id, old["host"],
-                                     None, None))
+                                     None, None),
+          done=done)
     old_dl = sum(old_counts.values())
     meta["gen"] = gen
     meta["n_docs"] -= (1 if old_dl > 0 else 0)
@@ -502,7 +527,10 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
         pkey = f"s{sid}b{idem_key[1]}"
     else:
         pkey = "h" + _payload_hash(
-            r["doc_id"] for r in batch_ids.collect())
+            (r["doc_id"], r["th"]) for r in
+            prep.select("doc_id",
+                        F.xxhash64(F.coalesce(F.col("text"), F.lit("")))
+                        .alias("th")).collect())
     bid = _gen_bid(lineage, gen, pkey)
     done = lineage.done_partitions(bid)  # partial-replay step skip
 

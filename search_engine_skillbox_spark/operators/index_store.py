@@ -668,8 +668,19 @@ class IndexStore:
 
 
 def _dir_bytes(path: str) -> int:
+    """Committed bytes under `path`. Build groups run concurrently, so
+    another group's in-flight Spark write may be staging files in the
+    same table dir while this group walks it for its lineage nbytes —
+    skip staging dirs (they aren't committed bytes) and tolerate files
+    that vanish between the os.walk listing and getsize."""
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs
+                   if not d.startswith(".spark-staging")
+                   and d != "_temporary"]
         for fn in files:
-            total += os.path.getsize(os.path.join(root, fn))
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
     return total

@@ -78,15 +78,14 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
         if not trows:
             total = 0
         elif site:
-            from .wand import live_docids
-            from ..functions.hashing import term_bucket
-            hb = term_bucket(site, store.n_buckets)
-            dhost = (store.docs(spark)
-                     .filter(F.col("host_bucket") == hb)  # partition pruning
-                     .filter(F.col("host") == site).select("doc_id"))
-            total = (live_docids(spark, store,
-                                 store.query_blocks(spark, q_terms))
-                     .join(dhost, "doc_id").distinct().count())
+            # block-coverage-pruned distributed count (wand): the old
+            # live_docids-over-query_blocks plan decoded every query
+            # term's FULL global posting list just to count within one
+            # host — the round-3 site+stopword anti-pattern, resurfacing
+            # through the count on every request the serving tier
+            # declines
+            from .wand import site_match_count
+            total = site_match_count(spark, store, q_terms, site)
         elif len(trows) == 1 and len(q_terms) == 1 and not has_tomb:
             total = trows[0]["df"]
         else:

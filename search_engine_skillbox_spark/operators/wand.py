@@ -209,6 +209,22 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
              .filter(F.col("host_bucket") == hb)  # partition pruning
              .filter(F.col("host") == host)
              .select("doc_id")).persist()
+    try:  # opened right after persist: a plan-construction error must
+        # still unpersist dhost (same leak class as dedup's skew cap)
+        return _site_topk_dist(spark, store, meta, present, k,
+                               mode, lookup_factor, debug, dhost,
+                               df_g, n_salt0, n_site)
+    finally:
+        dhost.unpersist()
+
+
+def _site_candidates(spark, store, present, dhost, df_g, n_salt0,
+                     n_site, lookup_factor, debug=None):
+    """Site-restricted live postings of the query terms: the shared
+    candidate plan of the distributed site top-k AND the distributed
+    site match count (both must prune stopword-scale terms with the
+    block-coverage semi-join — counting is not a license to decode a
+    global posting list)."""
     heavy = [t for t in present
              if df_g[t] > lookup_factor * n_site
              and n_site <= SITE_HIT_JOIN_CAP]
@@ -223,21 +239,71 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
     for t in heavy:
         # block-coverage semi-join: decode ONLY blocks whose doc range
         # covers a host doc in that doc's gen-0 salt (appends, gen>0,
-        # match on range alone — they always use salt 0)
+        # match on range alone — they always use salt 0). The gen-0
+        # join carries salt as an EQUI key so Catalyst plans a
+        # broadcast HASH join (range coverage as a post-filter) — a
+        # single OR'd salt predicate has no equi key and degrades to a
+        # BroadcastNestedLoopJoin of n_blocks × |site| predicate
+        # evaluations; the salt split divides that by n_salt. gen>0
+        # blocks (incremental appends, few) keep the range-only
+        # nested-loop join.
         cs = dhost.withColumn(
             "csalt", F.pmod(F.xxhash64("doc_id"),
                             F.lit(n_salt0[t])).cast("int"))
-        hit = (qblocks.filter(F.col("term") == t).alias("b")
-               .join(F.broadcast(cs).alias("c"),
-                     (F.col("b.first_doc") <= F.col("c.doc_id"))
-                     & (F.col("c.doc_id") <= F.col("b.last_doc"))
-                     & ((F.col("b.gen") != 0)
-                        | (F.col("b.salt") == F.col("c.csalt"))),
-                     "left_semi"))
-        gathered.append(live_postings(spark, store, hit))
+        rng = ((F.col("b.first_doc") <= F.col("c.doc_id"))
+               & (F.col("c.doc_id") <= F.col("b.last_doc")))
+        tb = qblocks.filter(F.col("term") == t)
+        hit0 = (tb.filter(F.col("gen") == 0).alias("b")
+                .join(F.broadcast(cs).alias("c"),
+                      (F.col("b.salt") == F.col("c.csalt")) & rng,
+                      "left_semi"))
+        hitg = (tb.filter(F.col("gen") != 0).alias("b")
+                .join(F.broadcast(dhost).alias("c"), rng, "left_semi"))
+        gathered.append(live_postings(spark, store,
+                                      hit0.unionAll(hitg)))
     allp = gathered[0]
     for g in gathered[1:]:
         allp = allp.unionAll(g)
+    return allp
+
+
+def site_match_count(spark: SparkSession, store: IndexStore,
+                     q_terms: list[str], host: str,
+                     lookup_factor: int = SITE_LOOKUP_FACTOR_DIST) -> int:
+    """Distributed total-match count within a site (distinct docs of
+    the host containing ANY query term) with the same block-coverage
+    pruning as site_topk — the service layer's fallback when
+    serve_match_count declines (big site / tombstones / caps)."""
+    meta = store.meta()
+    n_site = int(meta.get("n_docs_by_host", {}).get(host, 0))
+    if n_site <= 0:
+        return 0
+    trows = store.query_terms_rows(spark, q_terms)
+    present = [r["term"] for r in trows]
+    if not present:
+        return 0
+    df_g = {r["term"]: int(r["df"]) for r in trows}
+    n_salt0 = {r["term"]: max(1, int(r["n_salt"])) for r in trows}
+    from ..functions.hashing import term_bucket
+    hb = term_bucket(host, store.n_buckets)
+    dhost = (store.docs(spark)
+             .filter(F.col("host_bucket") == hb)  # partition pruning
+             .filter(F.col("host") == host)
+             .select("doc_id")).persist()
+    try:
+        allp = _site_candidates(spark, store, present, dhost, df_g,
+                                n_salt0, n_site, lookup_factor)
+        return (allp.join(dhost, "doc_id")
+                .select("doc_id").distinct().count())
+    finally:
+        dhost.unpersist()
+
+
+def _site_topk_dist(spark, store, meta, present, k, mode,
+                    lookup_factor, debug, dhost, df_g, n_salt0, n_site):
+    empty = "doc_id long, score double"
+    allp = _site_candidates(spark, store, present, dhost, df_g,
+                            n_salt0, n_site, lookup_factor, debug)
     cand = allp.join(dhost, "doc_id").persist()
     try:
         site_df = {r["term"]: r["df"] for r in
@@ -259,7 +325,6 @@ def site_topk(spark: SparkSession, store: IndexStore, q_terms: list[str],
         return spark.createDataFrame(rows, empty)
     finally:
         cand.unpersist()
-        dhost.unpersist()
 
 
 EXHAUSTIVE_POSTINGS_BUDGET = 200_000

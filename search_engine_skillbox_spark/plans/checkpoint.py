@@ -38,20 +38,44 @@ class LineageRow:
     error: str | None = None
 
 
+# parsed-row cache keyed by path: the file is APPEND-ONLY (only
+# _append writes it), so load() can read just the bytes past the last
+# parsed offset — without this, every incremental mutation re-parses
+# the store's full mutation history (O(store age) per micro-batch on a
+# long-lived stream). compact() swaps the whole store directory in by
+# rename, which replaces the file wholesale — detected by the inode
+# change (or a shrink) → full re-read.
+_LINEAGE_CACHE: dict[str, tuple[int, int, list]] = {}  # path → (ino, off, rows)
+
+
 class Lineage:
     def __init__(self, path: str):
-        self.path = path
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self.path = os.path.abspath(path)
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
 
     def _append(self, row: dict) -> None:
         with open(self.path, "a", encoding="utf-8") as f:
             f.write(json.dumps(row) + "\n")
 
     def load(self) -> list[dict]:
-        if not os.path.exists(self.path):
+        try:
+            st = os.stat(self.path)
+        except FileNotFoundError:
+            _LINEAGE_CACHE.pop(self.path, None)
             return []
-        with open(self.path, encoding="utf-8") as f:
-            return [json.loads(line) for line in f if line.strip()]
+        ino, off, rows = _LINEAGE_CACHE.get(self.path, (None, 0, []))
+        if ino != st.st_ino or st.st_size < off:
+            off, rows = 0, []
+        if st.st_size > off:
+            with open(self.path, "rb") as f:  # binary: off is a byte offset
+                f.seek(off)
+                buf = f.read()
+            rows = rows + [json.loads(line)
+                           for line in buf.decode("utf-8").splitlines()
+                           if line.strip()]
+            off += len(buf)
+            _LINEAGE_CACHE[self.path] = (st.st_ino, off, rows)
+        return list(rows)  # callers must not alias the cached list
 
     def done_partitions(self, build_id: str) -> set[str]:
         return {r["partition_id"] for r in self.load()

@@ -381,3 +381,78 @@ def test_compact_carries_original_warc_ts(spark, store):
              for r in store.docs(spark)
              .select("doc_id", "text", "warc_ts").collect()}
     assert docs2 == docs1
+
+
+def _crash_then_retry(spark, store, monkeypatch, op):
+    """Run `op` with _update_doc_tables raising (crash after the
+    non-idempotent blocks/terms steps are lineage-DONE, before docs and
+    the meta write), then retry clean."""
+    import search_engine_skillbox_spark.operators.incremental as inc
+    real = inc._update_doc_tables
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic crash before docs step")
+
+    monkeypatch.setattr(inc, "_update_doc_tables", boom)
+    with pytest.raises(RuntimeError, match="synthetic crash"):
+        op()
+    monkeypatch.setattr(inc, "_update_doc_tables", real)
+    return op()
+
+
+def test_reindex_page_crash_replay_is_exactly_once(
+        spark, store, prepared, tmp_path, monkeypatch):
+    """A same-payload retry after a mid-mutation crash must SKIP the
+    lineage-DONE non-idempotent steps (block append, dictionary
+    deltas): without the done-set, the retry appended the doc's
+    postings twice (doc scored double by the OR-sum) and applied the
+    df/cf deltas twice — permanent dictionary corruption."""
+    _crash_then_retry(spark, store, monkeypatch,
+                      lambda: reindex_page(spark, store, NEW_PAGE))
+    twin = _mk_store(spark, prepared, tmp_path, "inc_twin")
+    reindex_page(spark, twin, NEW_PAGE)
+    assert _live_flat(spark, store) == _live_flat(spark, twin)
+    assert _terms_map(spark, store) == _terms_map(spark, twin)
+
+
+def test_delete_page_crash_replay_is_exactly_once(
+        spark, store, prepared, tmp_path, monkeypatch):
+    """Same for delete: the terms decrement must not run twice on a
+    crash retry."""
+    _crash_then_retry(spark, store, monkeypatch,
+                      lambda: delete_page(spark, store, NEW_PAGE["url"]))
+    twin = _mk_store(spark, prepared, tmp_path, "inc_twin_del")
+    delete_page(spark, twin, NEW_PAGE["url"])
+    assert _live_flat(spark, store) == _live_flat(spark, twin)
+    assert _terms_map(spark, store) == _terms_map(spark, twin)
+
+
+def test_reindex_page_different_content_retry_raises(
+        spark, store, monkeypatch):
+    """The payload id is CONTENT-keyed: retrying the same url with
+    different text after a crash is a foreign half-applied generation
+    (blocks hold the old text's postings) — it must raise, not stitch
+    the two contents into one generation."""
+    import search_engine_skillbox_spark.operators.incremental as inc
+    real = inc._update_doc_tables
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic crash before docs step")
+
+    monkeypatch.setattr(inc, "_update_doc_tables", boom)
+    with pytest.raises(RuntimeError, match="synthetic crash"):
+        reindex_page(spark, store, NEW_PAGE)
+    monkeypatch.setattr(inc, "_update_doc_tables", real)
+    fresher = dict(NEW_PAGE,
+                   html=b"<html><body><p>fresher crawl text</p></body></html>")
+    with pytest.raises(RuntimeError, match="compact"):
+        reindex_page(spark, store, fresher)
+
+
+def test_payload_hash_is_content_sensitive():
+    from search_engine_skillbox_spark.operators.incremental import (
+        _payload_hash)
+    a = _payload_hash([(1, 100), (2, 200)])
+    same = _payload_hash([(2, 200), (1, 100)])  # order-free
+    diff = _payload_hash([(1, 101), (2, 200)])  # same ids, new content
+    assert a == same and a != diff

@@ -197,3 +197,65 @@ def test_single_term_count_is_dictionary_df(spark, store, qterms):
     want = (live_docids(spark, store, store.query_blocks(spark, [t]))
             .distinct().count())
     assert sv.serve_match_count(store, [t]) == int(row["df"]) == want
+
+
+def test_sorted_membership_equals_isin():
+    """_sorted_membership (searchsorted against the sorted host slice)
+    must agree with np.isin on random inputs incl. empties and
+    out-of-range values — it replaces np.isin in the large-site decode
+    path, where re-sorting the 10^6-element decoded array per call
+    cost ~0.5 s."""
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        small = np.unique(
+            rng.integers(-100, 100, rng.integers(0, 50)).astype(np.int64))
+        vals = rng.integers(-120, 120, rng.integers(0, 500)).astype(np.int64)
+        got = sv._sorted_membership(small, vals)
+        assert got.dtype == bool
+        assert np.array_equal(got, np.isin(vals, small))
+
+
+def test_site_match_count_distributed_matches_naive(spark, store, qterms):
+    """wand.site_match_count (the service layer's distributed fallback,
+    block-coverage pruned) must equal the naive full-decode count — with
+    the pruning semi-join forced on (lookup_factor=0) and off."""
+    from pyspark.sql import functions as F
+
+    from search_engine_skillbox_spark.functions.hashing import term_bucket
+    from search_engine_skillbox_spark.operators.wand import (
+        live_docids, site_match_count)
+    host = "alpha.test"
+    hb = term_bucket(host, store.n_buckets)
+    dhost = (store.docs(spark).filter(F.col("host_bucket") == hb)
+             .filter(F.col("host") == host).select("doc_id"))
+    want = (live_docids(spark, store, store.query_blocks(spark, qterms))
+            .join(dhost, "doc_id").distinct().count())
+    assert site_match_count(spark, store, qterms, host,
+                            lookup_factor=0) == want > 0
+    assert site_match_count(spark, store, qterms, host) == want
+    assert site_match_count(spark, store, ["zzzabsent"], host) == 0
+
+
+def test_site_heavy_semijoin_plans_hash_join(spark, store, qterms):
+    """The gen-0 block-coverage semi-join must carry salt as an EQUI
+    key so Catalyst plans a BroadcastHashJoin — an OR'd salt predicate
+    has no equi key and silently degrades to a BroadcastNestedLoopJoin
+    of n_blocks × |site| predicate evaluations (the plan-shape
+    regression this pins)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_skillbox_spark.functions.hashing import term_bucket
+    from search_engine_skillbox_spark.operators.wand import _site_candidates
+    host = "alpha.test"
+    hb = term_bucket(host, store.n_buckets)
+    dhost = (store.docs(spark).filter(F.col("host_bucket") == hb)
+             .filter(F.col("host") == host).select("doc_id"))
+    trows = store.query_terms_rows(spark, qterms)
+    present = [r["term"] for r in trows]
+    df_g = {r["term"]: int(r["df"]) for r in trows}
+    n_salt0 = {r["term"]: max(1, int(r["n_salt"])) for r in trows}
+    n_site = int(store.meta()["n_docs_by_host"][host])
+    allp = _site_candidates(spark, store, present, dhost, df_g, n_salt0,
+                            n_site, lookup_factor=0)  # all terms heavy
+    plan = allp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
