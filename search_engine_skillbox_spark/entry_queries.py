@@ -566,6 +566,28 @@ def q_search_after_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK_W)
 
 
+def q_search_site_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The service layer's total-match count within a site (the
+    reference returns TOTAL matches for pagination,
+    service/SearchServiceImpl.java count semantics) through BOTH
+    engine paths — the driver-side serving count (serve_match_count:
+    per-term decode-or-point-lookup against the host slice) and the
+    distributed block-coverage-pruned plan (wand.site_match_count) —
+    returned as one row per path so the gate pins path-equality AND
+    the DuckDB oracle in one hash."""
+    from .operators.serving import serve_match_count
+    from .operators.wand import site_match_count
+    st, _docs = _build_store(spark, sf_dir)
+    host = "src3.test"
+    n_dist = site_match_count(spark, st, QUERY_TERMS_W, host)
+    n_serve = serve_match_count(st, QUERY_TERMS_W, host)
+    if n_serve is None:  # cap breach → the same fallback the service uses
+        n_serve = n_dist
+    return spark.createDataFrame(
+        [("serving", int(n_serve)), ("distributed", int(n_dist))],
+        "path string, n long")
+
+
 QUERY_TERMS_W = ["spark", "join", "merge"]
 TOPK_W = 10
 
@@ -641,6 +663,21 @@ FROM scores
 ORDER BY round(raw, 4) DESC, doc_id ASC
 LIMIT {TOPK_W}"""
 
+_SQL_SITE_MATCH_COUNT = """WITH
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+')) AS term
+  FROM documents WHERE source = 'src3'
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+cnt AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tok
+  WHERE term IN ('spark', 'join', 'merge')
+)
+SELECT 'serving' AS path, n FROM cnt
+UNION ALL
+SELECT 'distributed' AS path, n FROM cnt"""
+
 _SQL_WAND = f"""WITH {_SQL_TOKS_PLAIN},
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
 qdf AS (
@@ -663,6 +700,7 @@ QUERIES = {
     "index_block_roundtrip": q_index_roundtrip,
     "search_wand_topk": q_search_wand_topk,
     "search_tfidf_site_physical": q_search_site_physical,
+    "search_site_match_count": q_search_site_match_count,
     "search_after_reindex": q_search_after_reindex,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -679,6 +717,7 @@ ORACLES = {
     "index_block_roundtrip": _SQL_ROUNDTRIP,
     "search_wand_topk": _SQL_WAND,
     "search_tfidf_site_physical": _SQL_WAND_SITE,
+    "search_site_match_count": _SQL_SITE_MATCH_COUNT,
     "search_after_reindex": _SQL_AFTER_REINDEX,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,

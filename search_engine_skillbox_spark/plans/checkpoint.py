@@ -70,6 +70,12 @@ class Lineage:
             with open(self.path, "rb") as f:  # binary: off is a byte offset
                 f.seek(off)
                 buf = f.read()
+            # parse only COMPLETE lines: a reader racing a concurrent
+            # appender (build groups append from threads) can see a
+            # partially-flushed trailing line — leave it for the next
+            # load() instead of failing json.loads on half a row
+            cut = buf.rfind(b"\n") + 1
+            buf = buf[:cut]
             rows = rows + [json.loads(line)
                            for line in buf.decode("utf-8").splitlines()
                            if line.strip()]
