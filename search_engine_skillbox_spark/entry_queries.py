@@ -459,6 +459,101 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# multimodal: binary media columns through the real decode/sample
+# operators (sources/multimodal.py), over bytes derived deterministically
+# from the documents table so the DuckDB oracle reproduces every byte
+# ---------------------------------------------------------------------------
+
+def _media_from_docs(docs: DataFrame) -> DataFrame:
+    """Media table derived from the corpus: header = b'FIMG' +
+    u16le(width) + u16le(height) with width = doc_id % 496 + 16,
+    height = (doc_id·7) % 496 + 16; payload = the utf-8 text bytes.
+    (fake_media_df's RNG payloads can't be mirrored in SQL — this
+    builder exists so the multimodal operators get an ORACLE-checkable
+    input; the operators under test are unchanged.)"""
+    import pandas as pd
+
+    from .sources.multimodal import MEDIA_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w = did % 496 + 16
+                h = (did * 7) % 496 + 16
+                data = (b"FIMG" + w.to_bytes(2, "little")
+                        + h.to_bytes(2, "little")
+                        + (text or "").encode("utf-8"))
+                rows.append({"media_id": did, "kind": "image",
+                             "data": data, "mime": "image/fake",
+                             "source_url": f"https://img.test/{did}"})
+            yield pd.DataFrame(rows)
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary → typed metadata through decode_image_meta's Arrow
+    kernel (header parse + byte stats); every output field is
+    recomputed independently by the oracle from the same doc bytes."""
+    from .sources import multimodal as MM
+    meta = MM.decode_image_meta(_media_from_docs(_docs(spark, sf_dir)))
+    return meta.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "mode",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("sha").cast("bigint").alias("sha"))
+
+
+# sha = u64le(first 8 header bytes) % 2^31; the first 8 bytes are
+# 'FIMG' + u16le(w) + u16le(h) → 1196247366 + w·2^32 + h·2^48
+_SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       (doc_id % 496 + 16)::BIGINT AS width,
+       ((doc_id * 7) % 496 + 16)::BIGINT AS height,
+       'RGB' AS mode,
+       (8 + octet_length(encode(text)))::BIGINT AS n_bytes,
+       ((1196247366 + (doc_id % 496 + 16) * 4294967296
+         + ((doc_id * 7) % 496 + 16) * 281474976710656)
+        % 2147483648)::BIGINT AS sha
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (sample_frames): one media row →
+    ≤ max_frames (frame_idx, byte-range) rows."""
+    from .sources import multimodal as MM
+    fr = MM.sample_frames(_media_from_docs(_docs(spark, sf_dir)))
+    return fr.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("offset_bytes").cast("bigint").alias("offset_bytes"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"))
+
+
+_SQL_MULTIMODAL_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 + octet_length(encode(text)) AS total
+  FROM documents
+),
+f AS (
+  SELECT media_id, total,
+         unnest(range(0, least(8, greatest(1, total // 256)))) AS fi
+  FROM m
+)
+SELECT media_id,
+       fi::BIGINT AS frame_idx,
+       (fi * 256)::BIGINT AS offset_bytes,
+       least(256, total - fi * 256)::BIGINT AS n_bytes
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
 # physical index path: build → encode → write → read → decode → score,
 # checked against the same SQL oracles as the logical path
 # ---------------------------------------------------------------------------
@@ -556,6 +651,50 @@ def q_search_after_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_ts": dt.datetime(2025, 1, 1), "html": None,
         "text": r5["text"] + " merge merge spark", "lang": r5["lang"]})
     delete_page(spark, st, f"https://{r7['source']}.test/doc/7")
+    top = wand_topk(spark, st, QUERY_TERMS_W, int(docs.count()))
+    url_doc = st.docs(spark).select(
+        "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("long").alias("orig_id"))
+    out = (top.join(F.broadcast(url_doc), "doc_id")
+           .select(F.col("orig_id").alias("doc_id"),
+                   F.round("score", 4).alias("score")))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK_W)
+
+
+def q_search_after_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingest through the driver gate (the
+    stream ≡ batch claim, previously pytest-only): the even-doc_id half
+    of the corpus is batch-built, the odd half arrives as a file-source
+    stream folded in by foreachBatch(reindex_batch) micro-batches
+    (streaming/ingest.py:37 — maxFilesPerTrigger=4 over 8 files → ≥2
+    generational append batches), then the standard pruned TF-IDF
+    search runs over the resulting store. Oracle: the SAME full-corpus
+    SQL as search_wand_topk — any divergence between streamed and
+    batch-built state (postings, df/cf, N) breaks the hash."""
+    import tempfile
+
+    from .operators.index_store import IndexStore
+    from .operators.wand import wand_topk
+    from .sources.pages import prepare_pages
+    from .streaming.ingest import stream_pages
+    docs = _docs(spark, sf_dir)
+    raw = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".test/doc/"),
+                 F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id").alias("orig_id"))
+    st = IndexStore(tempfile.mkdtemp(prefix="entry_sidx_"), n_buckets=8,
+                    salt_threshold=200)
+    st.build(spark,
+             prepare_pages(raw.filter(F.col("orig_id") % 2 == 0)
+                           .drop("orig_id")).persist(),
+             checkpoint_groups=1)
+    sdir = tempfile.mkdtemp(prefix="entry_stream_src_")
+    (raw.filter(F.col("orig_id") % 2 == 1).drop("orig_id")
+     .repartition(8).write.mode("overwrite").parquet(sdir))
+    stream_pages(spark, st, sdir,
+                 tempfile.mkdtemp(prefix="entry_stream_ckpt_"))
     top = wand_topk(spark, st, QUERY_TERMS_W, int(docs.count()))
     url_doc = st.docs(spark).select(
         "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
@@ -702,6 +841,9 @@ QUERIES = {
     "search_tfidf_site_physical": q_search_site_physical,
     "search_site_match_count": q_search_site_match_count,
     "search_after_reindex": q_search_after_reindex,
+    "search_after_stream": q_search_after_stream,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -719,6 +861,9 @@ ORACLES = {
     "search_tfidf_site_physical": _SQL_WAND_SITE,
     "search_site_match_count": _SQL_SITE_MATCH_COUNT,
     "search_after_reindex": _SQL_AFTER_REINDEX,
+    "search_after_stream": _SQL_WAND,
+    "multimodal_meta": _SQL_MULTIMODAL_META,
+    "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": _minhash_sql(),

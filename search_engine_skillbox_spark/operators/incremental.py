@@ -287,12 +287,16 @@ def _update_doc_tables(spark: SparkSession, store: IndexStore,
     dl_cur = (store.doclens(spark)
               .filter(F.col("doc_bucket") == db)
               .filter(F.col("doc_id") != doc_id)
-              .select("doc_id", F.col("dl").cast("int").alias("dl")))
+              .select("doc_id", F.col("dl").cast("int").alias("dl"),
+                      "host"))
     if new_dl is not None and new_dl > 0:
         dl_cur = dl_cur.unionByName(spark.createDataFrame(
-            [(doc_id, new_dl)], "doc_id long, dl int"))
+            [(doc_id, new_dl, host)], "doc_id long, dl int, host string"))
     dl_out = dl_cur.localCheckpoint()
-    (dl_out.coalesce(1).write.mode("overwrite")
+    (dl_out.coalesce(1)
+     .sortWithinPartitions("doc_id")  # keep the point-read stats tight
+     .write.mode("overwrite")
+     .option("parquet.block.size", 1024 * 1024)
      .parquet(os.path.join(store.path, "doclens", f"doc_bucket={db}")))
 
 
@@ -324,7 +328,6 @@ def _reindex_page_body(spark: SparkSession, store: IndexStore,
     gen = int(meta.get("gen", 0)) + 1
 
     old = _doc_row(spark, store, doc_id)
-    old_counts = Counter(_tokenize_py(old["text"])) if old is not None else Counter()
 
     lineage = _incr_lineage(store)
     # content-keyed payload (same rationale as _payload_hash): a retry
@@ -335,8 +338,30 @@ def _reindex_page_body(spark: SparkSession, store: IndexStore,
                    f"doc{doc_id}-"
                    + hashlib.sha1(new_text.encode()).hexdigest()[:12])
     done = lineage.done_partitions(bid)  # same-payload crash replay
+    # PRE-mutation doc state, pinned in a lineage NOTE before any step
+    # runs: a replay that crashed between the docs/ step committing and
+    # the meta write would otherwise recompute old_dl from the ALREADY-
+    # OVERWRITTEN docs row (old == new → every meta delta nets to zero
+    # → silent permanent drift of n_docs/sum_dl/by-host counts). The
+    # note's values are from the original attempt, so the replay applies
+    # the original deltas. old_counts (the terms-step input) needs no
+    # note: whenever the terms step is NOT yet done, the docs step (which
+    # is ordered after it) hasn't run either, so the recompute below is
+    # still exact — and when it IS done the step is skipped.
+    note = lineage.get_note(bid, "oldstate")
+    if note is not None:
+        old_existed = bool(note["old_existed"])
+        old_dl = int(note["old_dl"])
+    else:
+        old_existed = old is not None
+        old_dl = (sum(Counter(_tokenize_py(old["text"])).values())
+                  if old is not None else 0)
+        lineage.note(bid, "oldstate", old_existed=old_existed,
+                     old_dl=old_dl)
+    old_counts = (Counter(_tokenize_py(old["text"]))
+                  if old is not None and "terms" not in done else Counter())
     # 1. tombstone old generations (delete-if-exists, S9)
-    if old is not None:
+    if old_existed:
         _step(lineage, bid, "tombstones",
               lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]),
               done=done)
@@ -359,8 +384,8 @@ def _reindex_page_body(spark: SparkSession, store: IndexStore,
           lambda: _update_doc_tables(spark, store, doc_id, prep["host"],
                                      new_row, new_dl),
           done=done)
-    # 5. meta: n_docs / avgdl / gen
-    old_dl = sum(old_counts.values())
+    # 5. meta: n_docs / avgdl / gen (old_dl from the oldstate note —
+    # exact even on a post-docs-step crash replay)
     meta["gen"] = gen
     # the appended blocks' max_imp used the PRE-update avgdl as basis
     basis = float(meta.get("avgdl", 0.0))
@@ -384,13 +409,13 @@ def _reindex_page_body(spark: SparkSession, store: IndexStore,
         if by_host[host] <= 0:
             by_host.pop(host)
     meta["n_docs_by_host"] = by_host
-    if old is None:  # page rows count every saved page, zero-term or not
+    if not old_existed:  # page rows count every saved page, zero-term or not
         pages = meta.get("n_pages_by_host", {})
         pages[host] = pages.get(host, 0) + 1
         meta["n_pages_by_host"] = pages
     store.write_meta(meta)
     store.invalidate_reads()
-    return {"doc_id": doc_id, "old_existed": old is not None,
+    return {"doc_id": doc_id, "old_existed": old_existed,
             "n_terms": len(new_counts)}
 
 
@@ -413,17 +438,32 @@ def _delete_page_body(spark: SparkSession, store: IndexStore,
     doc_id = (spark.createDataFrame([(url_norm,)], "u string")
               .select(F.xxhash64("u").alias("h")).first()["h"])
     old = _doc_row(spark, store, doc_id)
-    if old is None:
-        return {"doc_id": doc_id, "deleted": False}
     meta = store.meta()
     gen = int(meta.get("gen", 0)) + 1
-    old_counts = Counter(_tokenize_py(old["text"]))
     lineage = _incr_lineage(store)
     bid = _gen_bid(lineage, gen, f"del{doc_id}")
+    # PRE-mutation state note (same rationale as _reindex_page_body): a
+    # replay that crashed after the docs step deleted the row would see
+    # old is None and return early WITHOUT applying the meta deltas —
+    # permanent n_docs/sum_dl/by-host drift. The note both records the
+    # original old_dl/host and marks "this delete was in flight".
+    note = lineage.get_note(bid, "oldstate")
+    if old is None and note is None:
+        return {"doc_id": doc_id, "deleted": False}
     done = lineage.done_partitions(bid)  # same-payload crash replay:
     # the terms decrement is non-idempotent — re-running it on a retry
     # would subtract the doc's df/cf twice (deletes are content-free, so
     # the bare doc_id payload is already a complete identity here)
+    if old is not None:
+        old_counts = Counter(_tokenize_py(old["text"]))
+        old_dl = sum(old_counts.values())
+        host = old["host"]
+    else:  # replay past the docs step — terms/docs are done-skipped
+        old_counts = Counter()
+        old_dl = int(note["old_dl"])
+        host = note["host"]
+    if note is None:
+        lineage.note(bid, "oldstate", old_dl=old_dl, host=host)
     _step(lineage, bid, "tombstones",
           lambda: _write_tombstones(spark, store, [(doc_id, gen - 1)]),
           done=done)
@@ -431,16 +471,15 @@ def _delete_page_body(spark: SparkSession, store: IndexStore,
           lambda: _update_terms(spark, store, old_counts, Counter()),
           done=done)
     _step(lineage, bid, "docs",
-          lambda: _update_doc_tables(spark, store, doc_id, old["host"],
+          lambda: _update_doc_tables(spark, store, doc_id, host,
                                      None, None),
           done=done)
-    old_dl = sum(old_counts.values())
     meta["gen"] = gen
     meta["n_docs"] -= (1 if old_dl > 0 else 0)
     meta["sum_dl"] = meta.get("sum_dl", 0) - old_dl
     meta["n_dl"] = meta.get("n_dl", 0) - (1 if old_dl > 0 else 0)
     meta["avgdl"] = (meta["sum_dl"] / meta["n_dl"]) if meta["n_dl"] else 0.0
-    h = old["host"]
+    h = host
     if old_dl > 0:
         by_host = meta.get("n_docs_by_host", {})
         by_host[h] = by_host.get(h, 0) - 1
@@ -485,9 +524,10 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
     replay of a PARTIALLY-applied generation (crash mid-batch, meta not
     yet bumped) recomputes the same gen and skips lineage-DONE steps, so
     blocks are never appended twice and dictionary deltas never applied
-    twice; meta counters can still drift in that window (deltas are
-    recomputed against partially-overwritten docs/) — check_consistency
-    detects it, compact() repairs.
+    twice; the meta deltas come from the pre-mutation oldstate lineage
+    NOTE, so they stay exact even when the replay finds docs/ already
+    overwritten (the pre-note version silently drifted in that window
+    until check_consistency was run).
 
     Everything is DataFrame work — no per-row driver loops:
       new postings   postings_flat over the prepared batch
@@ -534,10 +574,28 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
     bid = _gen_bid(lineage, gen, pkey)
     done = lineage.done_partitions(bid)  # partial-replay step skip
 
-    # --- 1. tombstones for every pre-existing doc. The doc-id list is a
-    # batch-sized driver collect (one long per doc in THIS batch — does
-    # not scale with corpus/bucket size; it also feeds the meta deltas).
-    olds = [r["doc_id"] for r in old_docs.select("doc_id").collect()]
+    # PRE-mutation state note (crash-replay exactness — same rationale
+    # as _reindex_page_body): olds and old_dl must reflect the store
+    # BEFORE this generation's docs/ overwrite. A replay recomputing
+    # them after a crash-past-the-docs-step would read the NEW rows
+    # (old ≡ new → every meta delta nets to zero → silent permanent
+    # drift). Note size is O(pre-existing docs in THIS batch) — the
+    # same scale as the olds collect itself, never corpus-sized.
+    note = lineage.get_note(bid, "oldstate")
+    if note is not None:
+        olds = [int(x) for x in note["olds"]]
+        old_dl = {int(k): int(v) for k, v in note["old_dl"].items()}
+    else:
+        # batch-sized driver collects (one long per doc in THIS batch —
+        # does not scale with corpus/bucket size)
+        olds = [r["doc_id"] for r in old_docs.select("doc_id").collect()]
+        old_dl = {r["doc_id"]: int(r["s"]) for r in
+                  old_posts.groupBy("doc_id")
+                  .agg(F.sum("tf").alias("s")).collect()}
+        lineage.note(bid, "oldstate", olds=olds,
+                     old_dl={str(k): v for k, v in old_dl.items()})
+
+    # --- 1. tombstones for every pre-existing doc
     _step(lineage, bid, "tombstones",
           lambda: _write_tombstones(spark, store,
                                     [(d, gen - 1) for d in olds]),
@@ -566,11 +624,9 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
                    .parquet(os.path.join(store.path, "blocks"))),
           done=done)
 
-    # Collect meta deltas NOW — a later dynamic overwrite of docs/
-    # invalidates the cached old_docs/old_posts plans (Spark refreshes
-    # the path), which would silently re-read the NEW rows.
-    old_dl = {r["doc_id"]: r["s"] for r in
-              old_posts.groupBy("doc_id").agg(F.sum("tf").alias("s")).collect()}
+    # Collect the batch-side meta inputs NOW — a later dynamic overwrite
+    # of docs/ invalidates cached plans reading that path. (old_dl/olds
+    # were pinned in the oldstate note above, pre-mutation.)
     new_dl_rows = (new_posts.groupBy("doc_id")
                    .agg(F.sum("tf").cast("int").alias("dl")).collect())
     new_dl = {r["doc_id"]: r["dl"] for r in new_dl_rows}
@@ -661,20 +717,27 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
               done=done)
 
     if "doclens" not in done:
-        new_dls = (spark.createDataFrame(new_dl_rows, "doc_id long, dl int")
-                   .withColumn("doc_bucket", doc_bucket))
+        new_dls = (spark.createDataFrame(
+            [(r["doc_id"], r["dl"], id_host[r["doc_id"]])
+             for r in new_dl_rows],
+            "doc_id long, dl int, host string")
+            .withColumn("doc_bucket", doc_bucket))
         keep_dl = (store.doclens(spark)
                    .filter(F.col("doc_bucket").isin(dbuckets))
                    .join(F.broadcast(batch_ids), "doc_id", "left_anti"))
         merged_dl = (keep_dl
                      .select("doc_id", F.col("dl").cast("int").alias("dl"),
+                             "host",
                              F.col("doc_bucket").cast("int")
                              .alias("doc_bucket"))
                      .unionByName(new_dls)
                      .localCheckpoint())
         _step(lineage, bid, "doclens",
-              lambda: (merged_dl.write.mode("overwrite")
+              lambda: (merged_dl
+                       .sortWithinPartitions("doc_bucket", "doc_id")
+                       .write.mode("overwrite")
                        .option("partitionOverwriteMode", "dynamic")
+                       .option("parquet.block.size", 1024 * 1024)
                        .partitionBy("doc_bucket")
                        .parquet(os.path.join(store.path, "doclens"))),
               done=done)

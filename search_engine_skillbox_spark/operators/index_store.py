@@ -8,7 +8,8 @@ parquet partition discovery):
     <dir>/blocks/bucket=<b>/   term,salt,block_id,n,max_tf,first_doc,
                                last_doc,docs:binary,tfs:binary
     <dir>/terms/               term,df,cf,max_tf,bucket
-    <dir>/doclens/             doc_id,dl
+    <dir>/doclens/             doc_id,dl,host (doc_id-sorted files —
+                               the hydrate point-read path)
     <dir>/docs/                doc_id,url,url_norm,host,path,text,lang,
                                warc_ts (original crawl ts — compact keeps it)
     <dir>/meta.json            n_docs, per-host n, avgdl, params
@@ -54,9 +55,13 @@ BLOCKS_SCHEMA = ("term string, salt int, tier int, block_id int, n int, "
 # bucket files with small row groups. 5 = warc_ts carried through docs/
 # (compact() rebuilds with the ORIGINAL crawl timestamps — a later
 # upsert of an older crawl can no longer lose to a compacted doc whose
-# synthetic ts post-dated it). Bumped whenever a reader of the current
-# code would fail or silently degrade on an older layout.
-FORMAT_VERSION = 5
+# synthetic ts post-dated it). 6 = doclens/ carries host and its files
+# are doc_id-sorted with ~1 MB row groups: (doc_id → host, dl) becomes
+# a row-group-pruned driver point read, which the serving tier's
+# hydrate uses to resolve a top-k id's (host_bucket, doc_bucket) docs/
+# partition without scanning docs/. Bumped whenever a reader of the
+# current code would fail or silently degrade on an older layout.
+FORMAT_VERSION = 6
 
 
 TIER0_POSTINGS = 2048  # per-(term,salt) hot-tier size (≥ 16 blocks)
@@ -176,9 +181,10 @@ class IndexStore:
                 # layout — only a from-corpus rebuild works on old stores.
                 raise RuntimeError(
                     f"index store at {path} has on-disk format {fmt} < "
-                    f"{FORMAT_VERSION} (blocks may lack dls/max_imp/tier or "
-                    f"docs may lack warc_ts): rebuild from the source corpus "
-                    f"required (IndexStore.build over prepare_pages output)")
+                    f"{FORMAT_VERSION} (blocks may lack dls/max_imp/tier, "
+                    f"docs may lack warc_ts, or doclens may lack host): "
+                    f"rebuild from the source corpus required "
+                    f"(IndexStore.build over prepare_pages output)")
 
     # ---------------- build ----------------
 
@@ -296,9 +302,24 @@ class IndexStore:
                      .parquet(os.path.join(self.path, "terms")))
 
                 def w_doclens():
-                    (doclens.withColumn("doc_bucket", doc_bucket)
+                    # host rides on every doclens row (format 6), and
+                    # files are doc_id-sorted with small row groups:
+                    # (doc_id → host, dl) is then a bounded point read
+                    # (partition-pruned on doc_bucket, row-group-pruned
+                    # on the doc_id min/max stats), which serving-tier
+                    # hydrate uses to find a top-k id's docs/ partition
+                    # without a corpus scan. The join is doc_id-keyed
+                    # over two SLIM projections — strictly smaller than
+                    # the full-text docs/ shuffle running concurrently
+                    # in this same dims phase.
+                    (doclens.join(prepared.select("doc_id", "host"),
+                                  "doc_id")
+                     .withColumn("doc_bucket", doc_bucket)
                      .repartition(self.n_buckets, F.col("doc_bucket"))
-                     .write.mode("overwrite").partitionBy("doc_bucket")
+                     .sortWithinPartitions("doc_bucket", "doc_id")
+                     .write.mode("overwrite")
+                     .option("parquet.block.size", 1024 * 1024)
+                     .partitionBy("doc_bucket")
                      .parquet(os.path.join(self.path, "doclens")))
 
                 def w_docs():

@@ -1,11 +1,14 @@
 """Full search service over the physical index — the engine's equivalent
 of GET /api/search end-to-end (SURVEY §3.1):
 
-  query analysis (driver) → block-max top-k (wand.py) → broadcast
-  hydrate of k docs (J3) → title/snippet/url pandas UDF over k rows
-  (present.py) → API-shaped response with the reference's edge cases
-  and quirks (Q4 result:false on out-of-range offset, Q7 blank site,
-  Q8 raw float32 relevance).
+  query analysis (driver) → block-max top-k (wand.py / serving.py) →
+  hydrate of the k docs (J3: driver-side doclens→docs point reads,
+  with a doc_bucket-pruned broadcast-join Spark fallback) →
+  title/snippet/url in pure Python over k rows (present.py) →
+  API-shaped response with the reference's edge cases and quirks
+  (Q4 result:false on out-of-range offset, Q7 blank site, Q8 raw
+  float32 relevance). On a tombstone-free store every stage is served
+  driver-side: a search_service request runs ZERO Spark jobs.
 
 Site-filtered search (T9): `site=` (a host, the engine's site key)
 routes to wand.site_topk — candidates from the term-pruned physical
@@ -25,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.textprep import distinct_query_terms, query_words
 from ..functions.urlutils import site_name_py
 from .index_store import IndexStore
-from .present import build_result_url, hydrate_topk
+from .present import build_result_url, build_snippet, build_title
 from .wand import site_topk, wand_topk
 
 
@@ -61,8 +64,21 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
     # total match count (reference returns total matches, not page size):
     # single term → df straight from the terms dictionary (zero decode);
     # multi-term → count-distinct over doc_ids only (tf bytes never read)
-    trows = store.query_terms_rows(spark, q_terms)
-    has_tomb = store.tombstones(spark) is not None
+    serving_on = _os.environ.get("SPARK_GRAFT_NO_SERVING") != "1"
+    has_tomb = store.has_tombstones()
+    # dictionary rows: driver-side pyarrow lookup when serving is on
+    # (correct regardless of tombstones — terms/ is maintained exactly
+    # by every mutation), Spark bucket-pruned scan otherwise. With the
+    # serving top-k, count and hydrate paths this makes the whole
+    # tombstone-free search_service a ZERO-Spark-job request.
+    trows = None
+    if serving_on:
+        from .serving import terms_rows_arrow
+        tmap = terms_rows_arrow(store, q_terms)
+        if tmap is not None:
+            trows = [tmap[t] for t in q_terms if tmap[t] is not None]
+    if trows is None:
+        trows = store.query_terms_rows(spark, q_terms)
     # serving tier: the total-match count is a bounded distinct-union
     # over the query terms' doc_ids — answered driver-side on
     # tombstone-free stores (operators/serving.py), Spark fallback on
@@ -70,8 +86,7 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
     # dictionary df (no decode at all).
     total = None
     needs_count_job = bool(site) or len(q_terms) > 1 or has_tomb
-    if (trows and needs_count_job and not has_tomb
-            and _os.environ.get("SPARK_GRAFT_NO_SERVING") != "1"):
+    if trows and needs_count_job and not has_tomb and serving_on:
         from .serving import serve_match_count
         total = serve_match_count(store, q_terms, site or None)
     if total is None:  # distributed fallback (serving declined / off)
@@ -102,28 +117,43 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
 
     ids = [r["doc_id"] for r in page]
     scores = {r["doc_id"]: r["score"] for r in page}
-    # J3: k-row broadcast semi-join against the docs table
-    iddf = F.broadcast(spark.createDataFrame([(i,) for i in ids], "doc_id long"))
-    hyd = (store.docs(spark).join(iddf, "doc_id")
-           .select("doc_id", "url_norm", "host", "path", "text"))
     qws = query_words(query)
-    hyd = hyd.withColumn("score", F.lit(0.0))
-    pretty = hydrate_topk(
-        hyd.select("doc_id", F.col("url_norm").alias("url"),
-                   "path", "text", "score", "host"), qws)
-    items = {r["doc_id"]: r for r in pretty.collect()}
+
+    # J3 hydrate. Serving path: bounded driver-side point reads
+    # (serving.serve_doc_rows — doclens resolves each id's host, docs/
+    # is then read partition- AND row-group-pruned; O(k) row groups,
+    # zero Spark jobs, zero corpus-size dependence). Title/snippet/url
+    # are pure Python over the k rows (present.py), identical to the
+    # pandas-UDF fallback by construction (same functions).
+    hyd_rows = None
+    if serving_on:
+        from .serving import serve_doc_rows
+        hyd_rows = serve_doc_rows(store, ids)
+    if hyd_rows is None:
+        # distributed fallback — doc_bucket partition pruning computed
+        # driver-side, so even the Spark plan never scans more than the
+        # k ids' doc-bucket slices (the round-4 unpruned-scan `weak`)
+        from ..functions.hashing import doc_bucket as _dbf
+        dbs = sorted({_dbf(int(d), store.n_buckets) for d in ids})
+        iddf = F.broadcast(
+            spark.createDataFrame([(i,) for i in ids], "doc_id long"))
+        hyd = (store.docs(spark)
+               .filter(F.col("doc_bucket").isin(dbs))
+               .join(iddf, "doc_id")
+               .select("doc_id", "url_norm", "host", "path", "text"))
+        hyd_rows = {r["doc_id"]: r for r in hyd.collect()}
 
     data = []
     for d in ids:
-        r = items.get(d)
+        r = hyd_rows.get(d)
         if r is None:
             continue
         data.append({
             "site": "",  # Q7 quirk
             "siteName": site_name_py(r["host"]),  # UrlUtils.java:43-59
             "uri": build_result_url(f"https://{r['host']}", r["path"]),
-            "title": r["title"],
-            "snippet": r["snippet"],
+            "title": build_title(r["text"], r["path"]),
+            "snippet": build_snippet(r["text"], qws),
             "relevance": float(np.float32(scores[d])),  # Q8 float32
         })
     return {"result": True, "count": int(total), "data": data}

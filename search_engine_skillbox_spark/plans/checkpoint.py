@@ -42,10 +42,17 @@ class LineageRow:
 # _append writes it), so load() can read just the bytes past the last
 # parsed offset — without this, every incremental mutation re-parses
 # the store's full mutation history (O(store age) per micro-batch on a
-# long-lived stream). compact() swaps the whole store directory in by
-# rename, which replaces the file wholesale — detected by the inode
-# change (or a shrink) → full re-read.
-_LINEAGE_CACHE: dict[str, tuple[int, int, list]] = {}  # path → (ino, off, rows)
+# long-lived stream). A replaced file (compact()'s directory swap, or a
+# delete-and-rebuild at the same path) must force a full re-read: the
+# guard is (inode, device, first-_HEAD_LEN-bytes) — inode alone is not
+# enough because a filesystem can hand a rebuilt file the SAME inode
+# number, after which an offset-based splice would stitch stale cached
+# rows onto the new file's bytes (phantom DONE rows → skipped
+# non-idempotent steps). The head prefix covers the first row's
+# started_at timestamp, which makes two distinct lineage files
+# byte-distinct in practice; appends never touch the head.
+_HEAD_LEN = 256
+_LINEAGE_CACHE: dict[str, tuple[tuple, int, list]] = {}  # path → (sig, off, rows)
 
 
 class Lineage:
@@ -63,24 +70,36 @@ class Lineage:
         except FileNotFoundError:
             _LINEAGE_CACHE.pop(self.path, None)
             return []
-        ino, off, rows = _LINEAGE_CACHE.get(self.path, (None, 0, []))
-        if ino != st.st_ino or st.st_size < off:
-            off, rows = 0, []
-        if st.st_size > off:
-            with open(self.path, "rb") as f:  # binary: off is a byte offset
-                f.seek(off)
+        with open(self.path, "rb") as f:
+            head = f.read(_HEAD_LEN)
+            sig, off, rows = _LINEAGE_CACHE.get(self.path,
+                                                (None, 0, []))
+            # same file ⟺ same (ino, dev) AND the cached head is a
+            # byte-prefix of the current head (the cached head may be
+            # shorter when the file was under _HEAD_LEN at cache time —
+            # appends only ever extend it)
+            same = (sig is not None
+                    and sig[0] == st.st_ino and sig[1] == st.st_dev
+                    and head[:len(sig[2])] == sig[2]
+                    and st.st_size >= off)
+            if not same:
+                off, rows = 0, []
+            if st.st_size > off:
+                f.seek(off)  # off is a byte offset
                 buf = f.read()
-            # parse only COMPLETE lines: a reader racing a concurrent
-            # appender (build groups append from threads) can see a
-            # partially-flushed trailing line — leave it for the next
-            # load() instead of failing json.loads on half a row
-            cut = buf.rfind(b"\n") + 1
-            buf = buf[:cut]
-            rows = rows + [json.loads(line)
-                           for line in buf.decode("utf-8").splitlines()
-                           if line.strip()]
-            off += len(buf)
-            _LINEAGE_CACHE[self.path] = (st.st_ino, off, rows)
+                # parse only COMPLETE lines: a reader racing a
+                # concurrent appender (build groups append from
+                # threads) can see a partially-flushed trailing line —
+                # leave it for the next load() instead of failing
+                # json.loads on half a row
+                cut = buf.rfind(b"\n") + 1
+                buf = buf[:cut]
+                rows = rows + [json.loads(line)
+                               for line in buf.decode("utf-8").splitlines()
+                               if line.strip()]
+                off += len(buf)
+                _LINEAGE_CACHE[self.path] = (
+                    (st.st_ino, st.st_dev, head), off, rows)
         return list(rows)  # callers must not alias the cached list
 
     def done_partitions(self, build_id: str) -> set[str]:
@@ -128,6 +147,28 @@ class Lineage:
                 for r in last.values())
         return {"status": status, "status_time": t or None,
                 "last_error": err}
+
+    def note(self, build_id: str, partition_id: str, **data) -> None:
+        """Append an informational row carrying recovery data for a
+        crash replay of the same build_id (status NOTE — invisible to
+        done_partitions). Used by the incremental mutations to pin the
+        PRE-mutation doc state: a replay whose docs/ step already
+        committed can no longer recompute the original old_dl /
+        old_existed from the (overwritten) store, so the meta deltas
+        come from the note instead of drifting to zero."""
+        self._append({"build_id": build_id, "partition_id": partition_id,
+                      "status": "NOTE", "started_at": time.time(),
+                      "data": data})
+
+    def get_note(self, build_id: str, partition_id: str) -> dict | None:
+        """Latest NOTE data for (build_id, partition_id), else None."""
+        out = None
+        for r in self.load():
+            if (r["build_id"] == build_id
+                    and r["partition_id"] == partition_id
+                    and r["status"] == "NOTE"):
+                out = r.get("data")
+        return out
 
     def failed(self, build_id: str, partition_id: str, started_at: float,
                error: str) -> None:

@@ -74,3 +74,47 @@ def test_deleted_file_clears_cache(tmp_path):
     assert len(ln.load()) == 2
     os.unlink(ln.path)
     assert ln.load() == []
+
+
+def test_same_inode_rebuild_detected_by_head(tmp_path):
+    """ADVICE r4: inode numbers can be REUSED by the filesystem after a
+    delete-and-rebuild at the same path. The staleness guard therefore
+    also fingerprints the file head (first-row timestamp makes distinct
+    files byte-distinct) — simulate the reuse by rewriting the file
+    in place (same inode, same path, same length, different bytes)."""
+    ln = _mk(tmp_path)
+    t0 = ln.start("old", "p1")
+    ln.done("old", "p1", t0, rows=1, nbytes=1)
+    assert ln.done_partitions("old") == {"p1"}
+    with open(ln.path, "r") as f:
+        content = f.read()
+    # same length, different head → a REBUILT file the inode check alone
+    # would miss; grow it past the cached offset so the splice bug would
+    # have fired
+    new_first = content.splitlines()[0].replace("old", "new")
+    with open(ln.path, "r+") as f:  # same inode: in-place rewrite
+        f.seek(0)
+        f.write(new_first + "\n")
+        f.truncate()
+        f.write(json.dumps({"build_id": "new", "partition_id": "p2",
+                            "status": "DONE", "started_at": 1.0,
+                            "pad": "x" * 400}) + "\n")
+    assert os.path.getsize(ln.path) > len(content)  # not a mere shrink
+    rows = ln.load()
+    assert {r["build_id"] for r in rows} == {"new"}
+    assert ln.done_partitions("old") == set()  # no phantom DONE rows
+    assert ln.done_partitions("new") == {"p2"}
+
+
+def test_note_roundtrip_and_invisibility(tmp_path):
+    """NOTE rows carry replay-recovery data; they must be returned by
+    get_note (latest wins) and ignored by done_partitions/summary."""
+    ln = _mk(tmp_path)
+    assert ln.get_note("b", "oldstate") is None
+    ln.note("b", "oldstate", old_dl=7, old_existed=True)
+    ln.note("b", "oldstate", old_dl=9, old_existed=False)  # latest wins
+    got = ln.get_note("b", "oldstate")
+    assert got == {"old_dl": 9, "old_existed": False}
+    assert ln.get_note("other", "oldstate") is None
+    assert ln.done_partitions("b") == set()
+    assert ln.summary()["status"] == "INDEXED"

@@ -17,10 +17,10 @@ from search_engine_skillbox_spark.operators.wand import (
     live_postings, wand_topk)
 
 
-def _mk_store(spark, prepared, tmp_path, name):
-    st = IndexStore(str(tmp_path / name), n_buckets=8, salt_threshold=50)
-    st.build(spark, prepared, checkpoint_groups=1)
-    return st
+# stores come from the session base store via directory clones
+# (conftest.mk_store) — a copytree instead of a per-test rebuild
+# (VERDICT r4 #8 test-wall cut); clone ≡ build for every assertion
+# here because the build is deterministic over the same prepared input
 
 
 def _live_flat(spark, st):
@@ -51,8 +51,8 @@ BRAND_NEW = {
 
 
 @pytest.fixture()
-def store(spark, prepared, tmp_path):
-    return _mk_store(spark, prepared, tmp_path, "inc")
+def store(mk_store):
+    return mk_store("inc")
 
 
 def test_reindex_existing(spark, store, prepared):
@@ -401,7 +401,7 @@ def _crash_then_retry(spark, store, monkeypatch, op):
 
 
 def test_reindex_page_crash_replay_is_exactly_once(
-        spark, store, prepared, tmp_path, monkeypatch):
+        spark, store, mk_store, monkeypatch):
     """A same-payload retry after a mid-mutation crash must SKIP the
     lineage-DONE non-idempotent steps (block append, dictionary
     deltas): without the done-set, the retry appended the doc's
@@ -409,19 +409,19 @@ def test_reindex_page_crash_replay_is_exactly_once(
     df/cf deltas twice — permanent dictionary corruption."""
     _crash_then_retry(spark, store, monkeypatch,
                       lambda: reindex_page(spark, store, NEW_PAGE))
-    twin = _mk_store(spark, prepared, tmp_path, "inc_twin")
+    twin = mk_store("inc_twin")
     reindex_page(spark, twin, NEW_PAGE)
     assert _live_flat(spark, store) == _live_flat(spark, twin)
     assert _terms_map(spark, store) == _terms_map(spark, twin)
 
 
 def test_delete_page_crash_replay_is_exactly_once(
-        spark, store, prepared, tmp_path, monkeypatch):
+        spark, store, mk_store, monkeypatch):
     """Same for delete: the terms decrement must not run twice on a
     crash retry."""
     _crash_then_retry(spark, store, monkeypatch,
                       lambda: delete_page(spark, store, NEW_PAGE["url"]))
-    twin = _mk_store(spark, prepared, tmp_path, "inc_twin_del")
+    twin = mk_store("inc_twin_del")
     delete_page(spark, twin, NEW_PAGE["url"])
     assert _live_flat(spark, store) == _live_flat(spark, twin)
     assert _terms_map(spark, store) == _terms_map(spark, twin)
@@ -456,3 +456,101 @@ def test_payload_hash_is_content_sensitive():
     same = _payload_hash([(2, 200), (1, 100)])  # order-free
     diff = _payload_hash([(1, 101), (2, 200)])  # same ids, new content
     assert a == same and a != diff
+
+
+META_KEYS = ("n_docs", "sum_dl", "n_dl", "n_docs_by_host",
+             "n_pages_by_host")
+
+
+def _crash_after_docs(spark, store, monkeypatch, op):
+    """Crash in the ADVICE-r4 drift window: AFTER _update_doc_tables
+    commits its partition overwrites, BEFORE the meta write — the
+    replay can then no longer recompute the original doc state from
+    docs/ (old ≡ new)."""
+    import search_engine_skillbox_spark.operators.incremental as inc
+    real = inc._update_doc_tables
+
+    def late_boom(*a, **kw):
+        real(*a, **kw)
+        raise RuntimeError("synthetic crash after docs overwrite")
+
+    monkeypatch.setattr(inc, "_update_doc_tables", late_boom)
+    with pytest.raises(RuntimeError, match="synthetic crash"):
+        op()
+    monkeypatch.setattr(inc, "_update_doc_tables", real)
+    return op()
+
+
+def test_reindex_crash_after_docs_meta_exact(
+        spark, store, mk_store, monkeypatch):
+    """ADVICE r4: the replay of a crash past the docs step must apply
+    the ORIGINAL meta deltas (from the oldstate lineage note), not
+    recompute them from the overwritten row — the pre-note code
+    silently drifted sum_dl/avgdl here (old_dl read back as new_dl)."""
+    from search_engine_skillbox_spark.operators.incremental import (
+        check_consistency)
+    res = _crash_after_docs(spark, store, monkeypatch,
+                            lambda: reindex_page(spark, store, NEW_PAGE))
+    assert res["old_existed"]
+    twin = mk_store("inc_twin_meta")
+    reindex_page(spark, twin, NEW_PAGE)
+    m, w = store.meta(), twin.meta()
+    for k in META_KEYS:
+        assert m[k] == w[k], k
+    assert abs(m["avgdl"] - w["avgdl"]) < 1e-12
+    rep = check_consistency(spark, store)
+    assert rep["consistent"], rep
+
+
+def test_delete_crash_after_docs_meta_exact(
+        spark, store, mk_store, monkeypatch):
+    """Same window for delete: the replay finds the docs row GONE — the
+    pre-note code returned deleted:False and never applied the meta
+    deltas (permanent n_docs drift)."""
+    from search_engine_skillbox_spark.operators.incremental import (
+        check_consistency)
+    out = _crash_after_docs(
+        spark, store, monkeypatch,
+        lambda: delete_page(spark, store, NEW_PAGE["url"]))
+    assert out["deleted"] is True  # the replay must still report success
+    twin = mk_store("inc_twin_meta_del")
+    delete_page(spark, twin, NEW_PAGE["url"])
+    m, w = store.meta(), twin.meta()
+    for k in META_KEYS:
+        assert m[k] == w[k], k
+    rep = check_consistency(spark, store)
+    assert rep["consistent"], rep
+
+
+def test_reindex_batch_crash_after_docs_meta_exact(
+        spark, store, mk_store, monkeypatch):
+    """Bulk path, same window: crash after the docs step (before
+    doclens/meta) — the oldstate note must keep the replayed batch's
+    meta deltas exact even though old_posts now reads the new rows."""
+    from search_engine_skillbox_spark.operators.incremental import (
+        check_consistency, reindex_batch)
+    from search_engine_skillbox_spark.plans.checkpoint import Lineage
+    from search_engine_skillbox_spark.sources import corpus as C
+
+    batch = C.pages_df(spark, 20, seed=7, partitions=1)
+    real_done = Lineage.done
+
+    def boom_done(self, build_id, pid, *a, **kw):
+        if pid == "doclens" and build_id.startswith("incr-"):
+            raise RuntimeError("synthetic crash after docs step")
+        return real_done(self, build_id, pid, *a, **kw)
+
+    monkeypatch.setattr(Lineage, "done", boom_done)
+    with pytest.raises(RuntimeError, match="synthetic crash"):
+        reindex_batch(spark, store, batch)
+    monkeypatch.setattr(Lineage, "done", real_done)
+    reindex_batch(spark, store, batch)
+
+    twin = mk_store("inc_twin_meta_batch")
+    reindex_batch(spark, twin, C.pages_df(spark, 20, seed=7, partitions=1))
+    m, w = store.meta(), twin.meta()
+    for k in META_KEYS:
+        assert m[k] == w[k], k
+    assert _live_flat(spark, store) == _live_flat(spark, twin)
+    rep = check_consistency(spark, store)
+    assert rep["consistent"], rep

@@ -15,11 +15,10 @@ from search_engine_skillbox_spark.operators.wand import (
 
 
 @pytest.fixture(scope="module")
-def store(spark, prepared, tmp_path_factory):
-    st = IndexStore(str(tmp_path_factory.mktemp("idx")), n_buckets=8,
-                    salt_threshold=50)  # tiny threshold → real salting
-    st.build(spark, prepared, build_id="t1", checkpoint_groups=2)
-    return st
+def store(base_store_dir):
+    # every test in this module READS only — open the session base
+    # store directly (built once with salt_threshold=50 → real salting)
+    return IndexStore(base_store_dir)
 
 
 def _flat(df):
@@ -281,3 +280,50 @@ def test_site_topk_distributed_semi_join_equals_full(spark, store,
     assert len(got) == len(want) > 0
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gd == wd and np.isclose(gs, ws, rtol=1e-12), (gd, wd)
+
+
+def test_old_format_fails_fast(tmp_path):
+    """VERDICT r4 #6: a pre-current-format store must fail at OPEN with
+    a rebuild-from-corpus message — and must NOT suggest compact() (it
+    opens the store, so it can never be the migration path)."""
+    import json
+    import os
+    p = str(tmp_path / "oldstore")
+    os.makedirs(p)
+    with open(os.path.join(p, "meta.json"), "w") as f:
+        json.dump({"format": 5, "n_buckets": 8, "salt_threshold": 50,
+                   "n_docs": 1}, f)
+    with pytest.raises(RuntimeError, match="rebuild from the source corpus"):
+        IndexStore(p)
+    try:
+        IndexStore(p)
+    except RuntimeError as e:
+        assert "compact" not in str(e).lower()
+
+
+def test_doclens_layout_for_point_reads(spark, store):
+    """Format 6: doclens files carry host and are doc_id-sorted within
+    each file — the stats the hydrate point read prunes on."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    files = glob.glob(os.path.join(store.path, "doclens", "doc_bucket=*",
+                                   "*.parquet"))
+    assert files
+    hosts_seen = set()
+    for fp in files:
+        pf = pq.ParquetFile(fp)
+        names = [pf.metadata.schema.column(i).name
+                 for i in range(pf.metadata.num_columns)]
+        assert "host" in names and "doc_id" in names and "dl" in names
+        ids = pf.read(columns=["doc_id"]).column("doc_id").to_numpy(
+            zero_copy_only=False)
+        assert np.all(np.diff(ids) >= 0), f"{fp} not doc_id-sorted"
+        hosts_seen |= set(pf.read(columns=["host"]).column("host")
+                          .to_pylist())
+        pf.close()
+    # hosts match the docs table's hosts
+    want = {r["host"] for r in
+            store.docs(spark).select("host").distinct().collect()}
+    assert hosts_seen == want
