@@ -140,9 +140,14 @@ def main() -> None:
     extra["site_query_jobs"] = count_jobs(
         lambda: site_topk(spark, store_big, q3, 10, host).collect())
 
-    # ---- 4. full service e2e (hydrate + snippets)
+    # ---- 4. full service e2e (hydrate + snippets). Round 5: the whole
+    # tombstone-free request (top-k + count + hydrate + presentation)
+    # is served driver-side — service_jobs should be 0.
     with timed("search_service_e2e"):
         search_service(spark, store_big, f"{mid} {rare}", limit=10)
+    extra["service_jobs"] = count_jobs(
+        lambda: search_service(spark, store_big, f"{mid} {rare}",
+                               limit=10))
 
     total = round(sum(v for k, v in timings.items()
                       if not k.startswith("query_")) +

@@ -87,9 +87,17 @@ def decode_image_meta(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 b = bytes(data)
                 w, h = _decode_header(b)
+                # header checksum: u64le(first 8 bytes) mod the Mersenne
+                # prime 2^31−1 — EXACT python-int math. (The original
+                # numpy form `uint64_value % (1 << 31)` silently
+                # promotes uint64-with-signed-int to float64 and loses
+                # low bits, and a 2^31 modulus of a little-endian u64
+                # keeps only the constant magic bytes — caught by the
+                # multimodal_meta DuckDB oracle.)
+                sha = int.from_bytes(b[:8], "little") % 2147483647
                 out.append({"media_id": int(mid), "width": w, "height": h,
                             "mode": "RGB", "n_bytes": len(b),
-                            "sha": int(np.frombuffer(b[:8], "<u8")[0] % (1 << 31))})
+                            "sha": sha})
             yield pd.DataFrame(out)
 
     return media.select("media_id", "data").mapInPandas(meta, IMAGE_META_SCHEMA)
