@@ -571,7 +571,10 @@ def _build_store(spark: SparkSession, sf_dir: str, private: bool = False):
 
     from .operators.index_store import IndexStore
     from .sources.pages import prepare_pages
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a freed session object's id() can
+    # be reused by a NEW session in the same process, which would hand
+    # back a store whose cached DataFrames belong to the dead session
+    key = (spark.sparkContext.applicationId, sf_dir)
     if not private and key in _STORE_CACHE:
         return _STORE_CACHE[key]
     docs = _docs(spark, sf_dir)

@@ -574,26 +574,45 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
     bid = _gen_bid(lineage, gen, pkey)
     done = lineage.done_partitions(bid)  # partial-replay step skip
 
-    # PRE-mutation state note (crash-replay exactness — same rationale
-    # as _reindex_page_body): olds and old_dl must reflect the store
-    # BEFORE this generation's docs/ overwrite. A replay recomputing
-    # them after a crash-past-the-docs-step would read the NEW rows
-    # (old ≡ new → every meta delta nets to zero → silent permanent
-    # drift). Note size is O(pre-existing docs in THIS batch) — the
-    # same scale as the olds collect itself, never corpus-sized.
+    # batch-input collections (recomputable exactly on ANY replay —
+    # they come from the batch, not from the mutable store)
+    id_host = {r["doc_id"]: r["host"]
+               for r in prep.select("doc_id", "host").collect()}
+    all_ids = list(id_host)
+
+    # PRE-mutation oldstate note (crash-replay exactness — same
+    # rationale as _reindex_page_body): the OLD-state-dependent meta
+    # inputs must reflect the store BEFORE this generation's docs/
+    # overwrite; a replay recomputing them past that point reads the
+    # NEW rows (old ≡ new → every delta nets to zero → silent drift).
+    # The note pins only per-host AGGREGATES — O(distinct hosts in the
+    # batch), never O(docs) — so a long-lived re-crawling stream does
+    # not grow the lineage file per-doc (the per-doc olds list is only
+    # needed by the tombstones step, which is ordered BEFORE docs: any
+    # replay that can no longer recompute it has already committed it).
     note = lineage.get_note(bid, "oldstate")
-    if note is not None:
-        olds = [int(x) for x in note["olds"]]
-        old_dl = {int(k): int(v) for k, v in note["old_dl"].items()}
+    if note is not None and "docs" in done:
+        # replay past the docs overwrite — aggregates from the note
+        olds = None
+        olds_by_host = {k: int(v)
+                        for k, v in note["olds_by_host"].items()}
+        had_by_host = {k: int(v) for k, v in note["had_by_host"].items()}
+        old_dl_sum = int(note["old_dl_sum"])
     else:
-        # batch-sized driver collects (one long per doc in THIS batch —
-        # does not scale with corpus/bucket size)
+        # docs/ still holds the pre-batch rows → exact recompute
+        # (batch-sized driver collects — one long per doc in THIS
+        # batch, never corpus/bucket-sized)
         olds = [r["doc_id"] for r in old_docs.select("doc_id").collect()]
         old_dl = {r["doc_id"]: int(r["s"]) for r in
                   old_posts.groupBy("doc_id")
                   .agg(F.sum("tf").alias("s")).collect()}
-        lineage.note(bid, "oldstate", olds=olds,
-                     old_dl={str(k): v for k, v in old_dl.items()})
+        olds_by_host = dict(Counter(id_host[d] for d in olds))
+        had_by_host = dict(Counter(
+            id_host[d] for d in olds if old_dl.get(d, 0) > 0))
+        old_dl_sum = sum(old_dl.values())
+        if note is None:
+            lineage.note(bid, "oldstate", olds_by_host=olds_by_host,
+                         had_by_host=had_by_host, old_dl_sum=old_dl_sum)
 
     # --- 1. tombstones for every pre-existing doc
     _step(lineage, bid, "tombstones",
@@ -624,15 +643,11 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
                    .parquet(os.path.join(store.path, "blocks"))),
           done=done)
 
-    # Collect the batch-side meta inputs NOW — a later dynamic overwrite
-    # of docs/ invalidates cached plans reading that path. (old_dl/olds
-    # were pinned in the oldstate note above, pre-mutation.)
+    # New-state meta inputs — from the batch input, exact on any replay
+    # (old-state inputs were pinned in the oldstate note above).
     new_dl_rows = (new_posts.groupBy("doc_id")
                    .agg(F.sum("tf").cast("int").alias("dl")).collect())
     new_dl = {r["doc_id"]: r["dl"] for r in new_dl_rows}
-    id_host = {r["doc_id"]: r["host"]
-               for r in prep.select("doc_id", "host").collect()}
-    all_ids = list(id_host)
 
     # --- 3. dictionary deltas (affected term buckets only)
     new_stats = term_stats(new_posts).withColumnRenamed("df", "ndf") \
@@ -742,24 +757,31 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
                        .parquet(os.path.join(store.path, "doclens"))),
               done=done)
 
-    # --- 5. meta (exact adjustments from the pre-overwrite collections)
-    olds_set = set(olds)
+    # --- 5. meta — aggregate deltas, equivalent to the per-doc loop
+    # (n_docs/n_dl += Σ(new_dl>0) − Σ(had); sum_dl += Σnew − Σold;
+    # pages[h] += batch docs of h − pre-existing docs of h; by-host
+    # counts exact under the invariant had_h ≤ current count of h).
+    # Aggregate form so the REPLAY path (note-recovered aggregates) and
+    # the fresh path share one computation.
+    n_batch_by_host = Counter(id_host.values())
+    npos_by_host = Counter(id_host[d] for d in all_ids
+                           if new_dl.get(d, 0) > 0)
+    new_dl_sum = sum(new_dl.values())
     by_host = meta.get("n_docs_by_host", {})
     pages = meta.get("n_pages_by_host", {})
-    for d in all_ids:
-        if d not in olds_set:  # brand-new page row
-            pages[id_host[d]] = pages.get(id_host[d], 0) + 1
+    for h, nb in n_batch_by_host.items():
+        fresh = nb - olds_by_host.get(h, 0)  # brand-new page rows
+        if fresh:
+            pages[h] = pages.get(h, 0) + fresh
     meta["n_pages_by_host"] = pages
-    for d in all_ids:
-        o = old_dl.get(d, 0)
-        n = new_dl.get(d, 0)
-        had = d in olds_set and o > 0
-        meta["n_docs"] += (1 if n > 0 else 0) - (1 if had else 0)
-        meta["sum_dl"] = meta.get("sum_dl", 0) + n - o
-        meta["n_dl"] = meta.get("n_dl", 0) + (1 if n > 0 else 0) - (1 if had else 0)
-        dh = (1 if n > 0 else 0) - (1 if had else 0)
+    npos_total = sum(npos_by_host.values())
+    had_total = sum(had_by_host.values())
+    meta["n_docs"] += npos_total - had_total
+    meta["sum_dl"] = meta.get("sum_dl", 0) + new_dl_sum - old_dl_sum
+    meta["n_dl"] = meta.get("n_dl", 0) + npos_total - had_total
+    for h in set(npos_by_host) | set(had_by_host):
+        dh = npos_by_host.get(h, 0) - had_by_host.get(h, 0)
         if dh:
-            h = id_host[d]
             by_host[h] = by_host.get(h, 0) + dh
             if by_host[h] <= 0:
                 by_host.pop(h)
@@ -770,8 +792,9 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
         meta["min_imp_basis"] = min(
             float(meta.get("min_imp_basis", enc_basis)), enc_basis)
     n_batch = len(all_ids)
+    n_olds = sum(olds_by_host.values())
     result = {"batch_docs": n_batch, "gen": gen,
-              "reindexed": len(olds), "new": n_batch - len(olds)}
+              "reindexed": n_olds, "new": n_batch - n_olds}
     if idem_key is not None:
         # commit the stream progress in the SAME meta write as the gen
         # bump: a replay of any batch ≤ this id is then an exact no-op.

@@ -586,6 +586,12 @@ class IndexStore:
         Returns (doc_ids, tfs, dls) numpy arrays of matching postings
         (gen-0 blocks matched on salt+range, gen>0 on range alone),
         restricted to candidate doc_ids."""
+        from .serving import borrow_files
+        with borrow_files(self):
+            return self._lookup_postings_arrow(term, cand_salts)
+
+    def _lookup_postings_arrow(self, term: str,
+                               cand_salts: list[tuple[int, int]]):
         import numpy as np
         import pyarrow.parquet as pq
 

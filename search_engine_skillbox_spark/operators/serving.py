@@ -105,19 +105,27 @@ def borrow_files(store: IndexStore):
     defers the wholesale close-reset instead of closing handles a
     concurrent serve may be mid-iteration on (reads on a closed handle
     raise); the LAST borrower performs the deferred close. Every
-    serving entry point wraps itself in this guard, so single-threaded
-    use costs one lock acquisition and nothing else."""
+    serving entry point (including terms_rows_arrow and the store's
+    lookup_postings_arrow) wraps itself in this guard, so
+    single-threaded use costs one lock acquisition and nothing else.
+
+    The counter and pending flag live on the store OBJECT (like the
+    lock), NOT inside _serve_cache: invalidate_reads swaps the cache
+    dict wholesale, and a counter kept there would lose borrowers
+    registered before the swap (their exit would then decrement the
+    NEW dict's counter to zero and allow a wholesale close under a
+    still-active reader)."""
     lk = _slock(store)
-    c = _scache(store)
     with lk:
-        c["active"] = c.get("active", 0) + 1
+        store._serve_active = getattr(store, "_serve_active", 0) + 1
     try:
         yield
     finally:
         with lk:
-            cc = _scache(store)  # may have been swapped by invalidate
-            cc["active"] = max(0, cc.get("active", 1) - 1)
-            if cc["active"] == 0 and cc.pop("close_pending", False):
+            store._serve_active -= 1
+            if (store._serve_active == 0
+                    and getattr(store, "_serve_close_pending", False)):
+                store._serve_close_pending = False
                 _close_files_locked(store)
 
 
@@ -140,6 +148,7 @@ def close_files(store: IndexStore) -> None:
     IndexStore.close() and by invalidate_reads() before the serve
     cache is dropped; safe to call repeatedly."""
     with _slock(store):
+        store._serve_close_pending = False
         _close_files_locked(store)
 
 
@@ -158,10 +167,10 @@ def _dir_files(store: IndexStore, relpath: str):
         cache = c.setdefault("files", {})
         if relpath not in cache:
             if sum(len(v) for v in cache.values()) >= FILE_HANDLE_CAP:
-                if c.get("active", 0) <= 1:  # only this borrower active
-                    _close_files_locked(store)
+                if getattr(store, "_serve_active", 0) <= 1:
+                    _close_files_locked(store)  # only this borrower
                 else:  # concurrent serves hold handles — defer
-                    c["close_pending"] = True
+                    store._serve_close_pending = True
                 cache = c.setdefault("files", {})
             d = os.path.join(store.path, relpath)
             files = []
@@ -182,6 +191,11 @@ def _bucket_files(store: IndexStore, table: str, bucket: int):
 
 
 def terms_rows_arrow(store: IndexStore, q_terms: list[str]):
+    with borrow_files(store):
+        return _terms_rows_arrow(store, q_terms)
+
+
+def _terms_rows_arrow(store: IndexStore, q_terms: list[str]):
     """Dictionary lookup without a Spark job: read the query terms'
     bucket files of terms/ via pyarrow (same bucket pruning as
     query_terms_rows). Returns {term: row-dict|None} or None when a

@@ -84,13 +84,19 @@ def test_ivf_kmeans_recall(spark, tmp_path):
     the given label column, with recall@10 vs the exact scan measured
     across nprobe. Guaranteed properties asserted: probing ranked-cell
     prefixes makes recall non-decreasing in nprobe, and probing ALL
-    cells is exhaustive (recall 1.0); the query's own cell is always
-    ranked first (assignment and probe share the argmax), so even
-    nprobe=1 finds the query vector itself."""
+    cells is exhaustive (recall 1.0). (No floor is asserted for small
+    nprobe: build_ivf recomputes centroids as means of the FINAL
+    assignment, so the probe ranking may legitimately differ from the
+    assignment argmax — partial-probe recall is reported, not
+    guaranteed.)"""
+    import os
+
     from pyspark.sql import functions as F
 
     from search_engine_skillbox_spark.operators import similarity as SIM
 
+    if not os.path.exists("/root/testdata/sf0.001/embeddings.parquet"):
+        pytest.skip("driver testdata not present on this machine")
     emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
            .withColumn("embedding",
                        F.transform("embedding", lambda x: x.cast("double"))))
@@ -114,5 +120,4 @@ def test_ivf_kmeans_recall(spark, tmp_path):
     vals = [recalls[n] for n in (1, 2, 4, 8)]
     assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), recalls
     assert recalls[8] == 1.0, recalls        # all cells probed → exact
-    assert recalls[1] >= 0.1, recalls        # own cell holds the query
     assigned.unpersist()

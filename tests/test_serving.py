@@ -259,14 +259,14 @@ def test_borrow_defers_wholesale_close(store):
             with sv.borrow_files(store):  # second active borrower
                 # cap breach while 2 borrowers active → deferred close
                 sv._dir_files(store, "terms/bucket=1")
-                assert sv._scache(store).get("close_pending") is True
+                assert store._serve_close_pending is True
                 # the first borrower's handles are still open and usable
                 assert first[0].metadata.num_rows >= 0
             # still one borrower active → close still deferred
-            assert sv._scache(store).get("close_pending") is True
+            assert store._serve_close_pending is True
         # last borrower exited → the deferred close ran
         assert sv._scache(store).get("files") == {}
-        assert not sv._scache(store).get("close_pending")
+        assert not store._serve_close_pending
     finally:
         svm.FILE_HANDLE_CAP = old_cap
         store.invalidate_reads()
@@ -293,24 +293,6 @@ def test_site_match_count_distributed_matches_naive(spark, store, qterms):
     assert site_match_count(spark, store, ["zzzabsent"], host) == 0
 
 
-def test_serve_doc_rows_after_reindex_tombstoned(spark, store):
-    """(Keep LAST in this module: mutates the shared store with a
-    TOMBSTONING reindex.) docs/ is replaced synchronously by every
-    mutation, so the driver-side hydrate stays exact on tombstoned
-    stores — the one serving component that doesn't need the tombstone
-    gate."""
-    from search_engine_skillbox_spark.operators.incremental import (
-        reindex_page)
-    row = store.docs(spark).select("url").first()
-    res = reindex_page(spark, store, {
-        "url": row["url"], "warc_ts": None, "html": None,
-        "text": "replaced hydrate body text", "lang": "en"})
-    assert res["old_existed"] and store.has_tombstones()
-    got = sv.serve_doc_rows(store, [res["doc_id"]])
-    assert got is not None
-    assert got[res["doc_id"]]["text"] == "replaced hydrate body text"
-
-
 def test_site_heavy_semijoin_plans_hash_join(spark, store, qterms):
     """The gen-0 block-coverage semi-join must carry salt as an EQUI
     key so Catalyst plans a BroadcastHashJoin — an OR'd salt predicate
@@ -334,3 +316,21 @@ def test_site_heavy_semijoin_plans_hash_join(spark, store, qterms):
                             n_site, lookup_factor=0)  # all terms heavy
     plan = allp._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_serve_doc_rows_after_reindex_tombstoned(spark, store):
+    """(Keep LAST in this module: mutates the shared store with a
+    TOMBSTONING reindex.) docs/ is replaced synchronously by every
+    mutation, so the driver-side hydrate stays exact on tombstoned
+    stores — the one serving component that doesn't need the tombstone
+    gate."""
+    from search_engine_skillbox_spark.operators.incremental import (
+        reindex_page)
+    row = store.docs(spark).select("url").first()
+    res = reindex_page(spark, store, {
+        "url": row["url"], "warc_ts": None, "html": None,
+        "text": "replaced hydrate body text", "lang": "en"})
+    assert res["old_existed"] and store.has_tombstones()
+    got = sv.serve_doc_rows(store, [res["doc_id"]])
+    assert got is not None
+    assert got[res["doc_id"]]["text"] == "replaced hydrate body text"
