@@ -113,11 +113,21 @@ def main() -> None:
             jobs = len(sc.statusTracker().getJobIdsForGroup(group))
             sc.setJobGroup("", "")
             runs.append({"sec": round(dt, 3), "jobs": jobs, "debug": dbg})
+        # the same request WITHOUT the Spark wrapper (createDataFrame +
+        # collect + tombstone check): isolates driver-side serve time
+        # from per-call session overhead — the r4 in-profile-vs-
+        # standalone gap (3.3 s vs 1.8 s) must name its layer
+        from search_engine_skillbox_spark.operators.serving import (
+            serve_site_topk)
+        t0 = time.time()
+        serve_site_topk(store, [heavy, mid, rare], args.k, host, "compat")
+        direct_sec = round(time.time() - t0, 3)
         lk = runs[-1]["debug"].get("serve_site_lookup", {}).get(heavy, {})
         dec = lk.get("postings_decoded")
         site_res[label] = {
             "host": host, "n_site": n_site, "stopword_df": heavy_df,
             "cold_sec": runs[0]["sec"], "warm_sec": runs[-1]["sec"],
+            "direct_serve_sec": direct_sec,
             "warm_jobs": runs[-1]["jobs"],
             "stopword_postings_decoded": dec,
             "stopword_decoded_fraction": (round(dec / heavy_df, 6)

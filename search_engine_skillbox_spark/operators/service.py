@@ -55,17 +55,37 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
     offset = max(0, offset)
     k = offset + limit
 
-    if site:
-        topk = site_topk(spark, store, q_terms, k, site, mode)
-    else:
-        topk = wand_topk(spark, store, q_terms, k, mode)
-    rows = topk.collect()
+    serving_on = _os.environ.get("SPARK_GRAFT_NO_SERVING") != "1"
+    has_tomb = store.has_tombstones()
+
+    # top-k: serving tier FIRST, called directly — wand_topk/site_topk
+    # would wrap the served rows back into a DataFrame whose collect()
+    # schedules one Spark job (a local-rows createDataFrame is RDD-
+    # backed in Spark 4), which was the only job left in an otherwise
+    # driver-side request. None → the distributed plan.
+    rows = None
+    if serving_on and not has_tomb:
+        if site:
+            from .serving import serve_site_topk
+            rows = serve_site_topk(store, q_terms, k, site, mode)
+        else:
+            from .serving import serve_topk
+            rows = serve_topk(store, q_terms, k, mode)
+        if rows is not None:
+            rows = [{"doc_id": int(d), "score": float(s)}
+                    for d, s in rows]
+    if rows is None:
+        if site:
+            topk = site_topk(spark, store, q_terms, k, site, mode,
+                             serving=False)
+        else:
+            topk = wand_topk(spark, store, q_terms, k, mode,
+                             serving=False)
+        rows = topk.collect()
 
     # total match count (reference returns total matches, not page size):
     # single term → df straight from the terms dictionary (zero decode);
     # multi-term → count-distinct over doc_ids only (tf bytes never read)
-    serving_on = _os.environ.get("SPARK_GRAFT_NO_SERVING") != "1"
-    has_tomb = store.has_tombstones()
     # dictionary rows: driver-side pyarrow lookup when serving is on
     # (correct regardless of tombstones — terms/ is maintained exactly
     # by every mutation), Spark bucket-pruned scan otherwise. With the

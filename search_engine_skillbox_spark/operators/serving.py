@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 from contextlib import contextmanager
 
 import numpy as np
@@ -499,12 +500,23 @@ def _site_term_postings(store: IndexStore, term: str, trow: dict,
     mode_budget[0] -= df_g
     if mode_budget[0] < 0:
         return None
+    t0 = time.monotonic()
     tm = _term_meta(store, term)
     if tm is None:
         return None
+    t1 = time.monotonic()
     (res,) = _decode_selected(store, [(tm, np.ones(tm["fi"].size, bool))])
     ids, tfs, dls = res
+    t2 = time.monotonic()
     keep = _sorted_membership(host_ids, ids)
+    if debug is not None:
+        # phase split for the large-site exact plan (VERDICT r4 #3):
+        # separates footer/meta reads from binary decode from the
+        # membership filter so a latency regression names its phase
+        debug.setdefault("serve_site_decode", {})[term] = {
+            "df": df_g, "blocks": int(tm["fi"].size),
+            "t_meta": round(t1 - t0, 4), "t_decode": round(t2 - t1, 4),
+            "t_member": round(time.monotonic() - t2, 4)}
     return ids[keep], tfs[keep], dls[keep]
 
 
@@ -542,7 +554,9 @@ def _serve_site_topk(store: IndexStore, q_terms: list[str], k: int,
     present = [t for t in q_terms if tmap.get(t) is not None]
     if not present:
         return []
+    t_h0 = time.monotonic()
     host_ids = _host_doc_ids(store, host)
+    t_hostslice = time.monotonic() - t_h0
     if host_ids is None:
         return None
     if host_ids.size == 0:
@@ -564,7 +578,8 @@ def _serve_site_topk(store: IndexStore, q_terms: list[str], k: int,
             parts_i.append(ids_t)
             parts_c.append(_contrib(tfs_t, dls_t, idf_t, mode, avgdl))
     if debug is not None:
-        debug["serve_site"] = {"host_docs": int(host_ids.size)}
+        debug["serve_site"] = {"host_docs": int(host_ids.size),
+                               "t_hostslice": round(t_hostslice, 4)}
     if not parts_i:
         return []
     uids, tot = _aggregate(parts_i, parts_c)

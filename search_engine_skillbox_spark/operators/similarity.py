@@ -18,6 +18,7 @@ ANSI SQL → DuckDB oracle parity.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series'
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
