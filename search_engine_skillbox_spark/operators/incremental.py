@@ -246,6 +246,28 @@ def _update_terms(spark: SparkSession, store: IndexStore,
      .partitionBy("bucket").parquet(os.path.join(store.path, "terms")))
 
 
+def _dict_size(store: IndexStore) -> int:
+    """Exact live-term count from the terms/ parquet FOOTERS (zero jobs,
+    zero data pages): _update_terms writes only df>0 rows and dynamic
+    overwrite replaces a touched bucket partition wholesale, so the
+    dictionary's physical row count IS the distinct live-lemma count.
+    Recomputed from committed state at meta-write time, it stays exact
+    across crash replays too (a replayed generation skips the terms
+    step but the footers already reflect it). Keeps the dashboard's
+    GLOBAL lemma total exact between compacts — the per-host lemma
+    split alone retains the documented build/compact staleness (it
+    needs per-(host, term) state no engine maintains incrementally)."""
+    import pyarrow.parquet as pq
+    total = 0
+    base = os.path.join(store.path, "terms")
+    for root, _dirs, files in os.walk(base):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root, fn)).metadata.num_rows
+    return total
+
+
 def _update_doc_tables(spark: SparkSession, store: IndexStore,
                        doc_id: int, host: str, new_row: dict | None,
                        new_dl: int | None) -> None:
@@ -413,6 +435,7 @@ def _reindex_page_body(spark: SparkSession, store: IndexStore,
         pages = meta.get("n_pages_by_host", {})
         pages[host] = pages.get(host, 0) + 1
         meta["n_pages_by_host"] = pages
+    meta["n_terms_total"] = _dict_size(store)
     store.write_meta(meta)
     store.invalidate_reads()
     return {"doc_id": doc_id, "old_existed": old_existed,
@@ -492,6 +515,7 @@ def _delete_page_body(spark: SparkSession, store: IndexStore,
         if pages[h] <= 0:
             pages.pop(h)
         meta["n_pages_by_host"] = pages
+    meta["n_terms_total"] = _dict_size(store)
     store.write_meta(meta)
     store.invalidate_reads()
     return {"doc_id": doc_id, "deleted": True}
@@ -801,6 +825,7 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
         # Only the latest batch per stream is kept (ids are monotone).
         sp = meta.setdefault("stream_progress", {})
         sp[idem_key[0]] = {"batch_id": idem_key[1], "stats": result}
+    meta["n_terms_total"] = _dict_size(store)
     store.write_meta(meta)
 
     store.invalidate_reads()

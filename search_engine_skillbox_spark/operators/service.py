@@ -187,10 +187,14 @@ def statistics_service(spark: SparkSession, store: IndexStore) -> dict:
     lineage file's collapsed lifecycle (status / statusTime / lastError,
     C3/C4) — zero Spark jobs and zero table scans per dashboard call
     (the round-2 version re-scanned docs/ and counted terms/ each time).
-    Page counts are maintained exactly through the incremental path;
-    lemma counts refresh at build/compact (distinct-term counts are not
-    incrementally maintainable without per-host term sets — documented
-    staleness window between a reindex and the next compact)."""
+    Page counts are maintained exactly through the incremental path.
+    The GLOBAL lemma total is exact too: every mutation recounts it
+    from the terms/ parquet footers (incremental._dict_size — the
+    dictionary physically holds exactly the df>0 terms). Only the
+    per-host lemma split refreshes at build/compact (a per-host
+    distinct-term count needs per-(host, term) state nothing maintains
+    incrementally — documented staleness the reference's dashboard
+    shares)."""
     import os as _os
 
     from ..plans.checkpoint import Lineage

@@ -302,6 +302,27 @@ def test_statistics_from_lineage_and_meta(spark, store):
                for d in stats["statistics"]["detailed"])
 
 
+def test_lemma_total_exact_after_mutations(spark, store):
+    """The dashboard's GLOBAL lemma count is maintained exactly by every
+    mutation (meta n_terms_total ← terms/ footer row sum): a reindex
+    that adds brand-new terms and a delete that kills a doc's unique
+    terms must both land the exact live-dictionary size, with no
+    compact in between (the pre-r5 version refreshed only at
+    build/compact — a documented staleness this closes)."""
+    from search_engine_skillbox_spark.operators.service import (
+        statistics_service)
+
+    def live_terms():
+        return store.terms(spark).count()
+
+    reindex_page(spark, store, BRAND_NEW)  # adds novel terms
+    assert store.meta()["n_terms_total"] == live_terms()
+    assert (statistics_service(None, store)["statistics"]["total"]
+            ["lemmas"] == live_terms())
+    delete_page(spark, store, BRAND_NEW["url"])  # kills them again
+    assert store.meta()["n_terms_total"] == live_terms()
+
+
 def test_foreign_partial_generation_raises(spark, store):
     """ADVICE r3: done-step skipping is keyed by (gen, payload). A
     half-applied generation from a DIFFERENT payload (crash before the
