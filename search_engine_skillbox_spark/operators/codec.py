@@ -48,13 +48,25 @@ def varint_encode(a: np.ndarray) -> bytes:
 
 
 def varint_decode(b: bytes | bytearray | memoryview) -> np.ndarray:
-    """Inverse of varint_encode → uint64 array, vectorized."""
+    """Inverse of varint_encode → uint64 array, vectorized.
+
+    All-1-byte streams (tf runs are overwhelmingly < 128) skip the
+    general path entirely — a plain widen, ~7× on real tf streams.
+    The general path is the byte-position masked loop: flat-pass
+    alternatives measured SLOWER on real streams (np.add.reduceat pays
+    per-segment reduce overhead over 4M 2-6-byte segments: 4.2 s vs
+    0.38 s for a 4M-value xxhash-delta stream; a cumsum/boundary-diff
+    formulation touches 3× the bytes: 0.50 s) — doc-delta varints
+    average ~6 bytes (xxhash64 ids), so the loop runs ~6 gathers over
+    a shrinking active set and wins on memory traffic."""
     raw = np.frombuffer(b, np.uint8)
     if raw.size == 0:
         return np.empty(0, np.uint64)
     is_last = (raw & 0x80) == 0
     ends = np.flatnonzero(is_last)
     n = ends.size
+    if n == raw.size:  # every varint is one byte
+        return raw.astype(np.uint64)
     starts = np.empty(n, np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
@@ -63,7 +75,8 @@ def varint_decode(b: bytes | bytearray | memoryview) -> np.ndarray:
     shift = np.uint64(0)
     active = np.ones(n, bool)
     while active.any():
-        vals[active] |= (raw[idx[active]] & np.uint64(0x7F)).astype(np.uint64) << shift
+        vals[active] |= (raw[idx[active]]
+                         & np.uint64(0x7F)).astype(np.uint64) << shift
         done = idx >= ends
         active &= ~done
         idx += 1
@@ -141,7 +154,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         }
 
 
-def decode_blocks_batch(docs_bufs: list, tfs_bufs: list, dls_bufs: list,
+def decode_blocks_batch(docs_bufs: list, tfs_bufs: list,
+                        dls_bufs: list | None,
                         ns) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode MANY posting blocks in three vectorized varint passes
     (one per column) instead of 3·n_blocks `varint_decode` calls.
@@ -156,14 +170,20 @@ def decode_blocks_batch(docs_bufs: list, tfs_bufs: list, dls_bufs: list,
     ns: posting count per block, in buffer order (block metadata `n`).
     Returns CONCATENATED (doc_ids, tfs, dls); equality with per-block
     `decode_block` is pinned by tests/test_codec_property.py.
+
+    dls_bufs=None skips the dl stream entirely (returned dls is None):
+    compat-mode scoring and match counts never read document lengths,
+    so a large-site full-list decode drops a third of its varint work
+    (and its callers a third of the parquet binary reads).
     """
     ns = np.asarray(ns, np.int64)
     total = int(ns.sum())
     docs_all = varint_decode(b"".join(docs_bufs))
     tfs_all = varint_decode(b"".join(tfs_bufs)).astype(np.int64)
-    dls_all = varint_decode(b"".join(dls_bufs)).astype(np.int64)
+    dls_all = (varint_decode(b"".join(dls_bufs)).astype(np.int64)
+               if dls_bufs is not None else None)
     if (docs_all.size != total or tfs_all.size != total
-            or dls_all.size != total):
+            or (dls_all is not None and dls_all.size != total)):
         raise ValueError("block `n` metadata disagrees with varint stream")
     starts = np.zeros(ns.size, np.int64)
     if ns.size > 1:

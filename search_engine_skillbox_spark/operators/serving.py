@@ -77,6 +77,9 @@ SITE_SLICE_CAP = 4_000_000
 # driver read (~8M postings ≈ 160 MB transient numpy), and ~5-10×
 # faster than the distributed fallback whose cost is per-job scheduling
 SITE_DECODE_CAP = 8_000_000
+# threads overlapping row-group reads in a full-list decode (pyarrow
+# drops the GIL for IO/decompression; varint decode stays sequential)
+DECODE_READ_THREADS = 4
 
 META_COLS = ["term", "salt", "tier", "gen", "n", "max_tf",
              "first_doc", "last_doc", "max_imp"]
@@ -301,11 +304,18 @@ def _term_meta(store: IndexStore, term: str):
     return out
 
 
-def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]]):
+def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]],
+                     need_dls: bool = True):
     """Decode the selected blocks' binaries. metas: [(term_meta, mask)].
     Binary columns are read per touched row group with .take(rows) —
     untouched row groups' binaries are never materialized.
-    Returns [(doc_ids, tfs, dls)] per (term_meta, mask) input."""
+    Returns [(doc_ids, tfs, dls)] per (term_meta, mask) input.
+
+    need_dls=False skips the dls column at BOTH layers (parquet binary
+    read and varint decode; dls comes back None): compat scoring and
+    match counts never use document lengths, and on a large-site
+    full-list decode the dl stream is a third of the byte volume."""
+    cols = ["docs", "tfs"] + (["dls"] if need_dls else [])
     results = []
     for tm, mask in metas:
         rows_sel = np.flatnonzero(mask)
@@ -317,6 +327,7 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]]):
             order = np.lexsort((tm["row"][rows_sel], tm["rg"][rows_sel],
                                 tm["fi"][rows_sel]))
             rows_sel = rows_sel[order]
+            spans = []  # (fi, rg, take) in buffer order
             i = 0
             while i < rows_sel.size:
                 fi = int(tm["fi"][rows_sel[i]])
@@ -326,13 +337,27 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]]):
                        and int(tm["fi"][rows_sel[j]]) == fi
                        and int(tm["rg"][rows_sel[j]]) == rg):
                     j += 1
-                take = tm["row"][rows_sel[i:j]]
-                btbl = files[fi].read_row_group(
-                    rg, columns=["docs", "tfs", "dls"]).take(take)
+                spans.append((fi, rg, tm["row"][rows_sel[i:j]]))
+                i = j
+
+            def _read(span):
+                fi, rg, take = span
+                return files[fi].read_row_group(rg, columns=cols).take(take)
+            if len(spans) > 2:
+                # pyarrow releases the GIL for IO + decompression: a
+                # small thread pool overlaps row-group reads of a
+                # full-list decode (tens of row groups for a stopword)
+                # while order is preserved by executor map semantics
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(DECODE_READ_THREADS) as pool:
+                    tbls = list(pool.map(_read, spans))
+            else:
+                tbls = [_read(s) for s in spans]
+            for btbl in tbls:
                 docs_bufs.extend(btbl.column("docs").to_pylist())
                 tfs_bufs.extend(btbl.column("tfs").to_pylist())
-                dls_bufs.extend(btbl.column("dls").to_pylist())
-                i = j
+                if need_dls:
+                    dls_bufs.extend(btbl.column("dls").to_pylist())
         if docs_bufs:
             # one vectorized pass over the joined streams — per-block
             # decode_block calls are call-overhead-bound at full-list
@@ -340,10 +365,11 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]]):
             # blocks); rows_sel is already in buffer order after the
             # lexsort, so metadata `n` aligns with the buffers
             results.append(decode_blocks_batch(
-                docs_bufs, tfs_bufs, dls_bufs, tm["n"][rows_sel]))
+                docs_bufs, tfs_bufs, dls_bufs if need_dls else None,
+                tm["n"][rows_sel]))
         else:
             e = np.empty(0, np.int64)
-            results.append((e, e, e))
+            results.append((e, e, e if need_dls else None))
     return results
 
 
@@ -457,7 +483,8 @@ SITE_LOOKUP_IDS_CAP = 500_000
 def _site_term_postings(store: IndexStore, term: str, trow: dict,
                         host_ids, mode_budget: list,
                         lookup_factor: int = SITE_LOOKUP_FACTOR,
-                        debug: dict | None = None):
+                        debug: dict | None = None,
+                        need_dls: bool = True):
     """(doc_ids, tfs, dls) of `term` restricted to the host's docs,
     by the cheaper of two EXACT strategies:
 
@@ -505,7 +532,8 @@ def _site_term_postings(store: IndexStore, term: str, trow: dict,
     if tm is None:
         return None
     t1 = time.monotonic()
-    (res,) = _decode_selected(store, [(tm, np.ones(tm["fi"].size, bool))])
+    (res,) = _decode_selected(store, [(tm, np.ones(tm["fi"].size, bool))],
+                              need_dls=need_dls)
     ids, tfs, dls = res
     t2 = time.monotonic()
     keep = _sorted_membership(host_ids, ids)
@@ -517,7 +545,7 @@ def _site_term_postings(store: IndexStore, term: str, trow: dict,
             "df": df_g, "blocks": int(tm["fi"].size),
             "t_meta": round(t1 - t0, 4), "t_decode": round(t2 - t1, 4),
             "t_member": round(time.monotonic() - t2, 4)}
-    return ids[keep], tfs[keep], dls[keep]
+    return ids[keep], tfs[keep], (dls[keep] if dls is not None else None)
 
 
 def serve_site_topk(store: IndexStore, q_terms: list[str], k: int,
@@ -566,7 +594,8 @@ def _serve_site_topk(store: IndexStore, q_terms: list[str], k: int,
     parts_i, parts_c = [], []
     for t in present:
         got = _site_term_postings(store, t, tmap[t], host_ids, budget,
-                                  lookup_factor, debug)
+                                  lookup_factor, debug,
+                                  need_dls=(mode != "compat"))
         if got is None:
             return None
         ids_t, tfs_t, dls_t = got
@@ -627,7 +656,8 @@ def _serve_match_count(store: IndexStore, q_terms: list[str],
             if tm is None:
                 return None
             metas.append((tm, np.ones(tm["fi"].size, bool)))
-        parts = [ids for ids, _tfs, _dls in _decode_selected(store, metas)]
+        parts = [ids for ids, _tfs, _dls in
+                 _decode_selected(store, metas, need_dls=False)]
         if not parts:
             return 0
         return int(np.unique(np.concatenate(parts)).size)
@@ -643,7 +673,8 @@ def _serve_match_count(store: IndexStore, q_terms: list[str],
     budget = [SITE_DECODE_CAP]
     parts = []
     for t in present:
-        got = _site_term_postings(store, t, tmap[t], host_ids, budget)
+        got = _site_term_postings(store, t, tmap[t], host_ids, budget,
+                                  need_dls=False)
         if got is None:
             return None
         parts.append(got[0])
@@ -709,8 +740,9 @@ def _serve_topk(store: IndexStore, q_terms: list[str], k: int,
                 return None
             metas.append((tm, np.ones(tm["fi"].size, bool)))
         parts_i, parts_c = [], []
-        for t, (ids, tfs, dls) in zip(present,
-                                      _decode_selected(store, metas)):
+        for t, (ids, tfs, dls) in zip(
+                present, _decode_selected(store, metas,
+                                          need_dls=(mode != "compat"))):
             parts_i.append(ids)
             parts_c.append(_contrib(tfs, dls, idf[t], mode, avgdl))
         if not parts_i:
@@ -737,7 +769,7 @@ def _serve_topk(store: IndexStore, q_terms: list[str], k: int,
     if budget_left < 0:
         return None
     (seed_ids, seed_tfs, seed_dls), = _decode_selected(
-        store, [(ts, seed_mask)])
+        store, [(ts, seed_mask)], need_dls=(mode != "compat"))
     p1_ids, p1_tot = _aggregate(
         [seed_ids], [_contrib(seed_tfs, seed_dls, idf[t_star], mode,
                               avgdl)])
@@ -788,7 +820,9 @@ def _serve_topk(store: IndexStore, q_terms: list[str], k: int,
             return None
     parts_i: list[np.ndarray] = [p1_ids]
     parts_c: list[np.ndarray] = [p1_tot]
-    for t, (ids, tfs, dls) in zip(sel_terms, _decode_selected(store, sel)):
+    for t, (ids, tfs, dls) in zip(
+            sel_terms, _decode_selected(store, sel,
+                                        need_dls=(mode != "compat"))):
         parts_i.append(ids)
         parts_c.append(_contrib(tfs, dls, idf[t], mode, avgdl))
     cand_ids, cand_tot = _aggregate(parts_i, parts_c)

@@ -68,3 +68,10 @@ def test_batch_decode_equals_per_block(ids, data):
         assert (got_d == np.concatenate([e[0] for e in exp])).all()
         assert (got_t == np.concatenate([e[1] for e in exp])).all()
         assert (got_l == np.concatenate([e[2] for e in exp])).all()
+        # dls_bufs=None (compat/count fast path): identical ids/tfs,
+        # dls comes back None instead of a decoded stream
+        nd_d, nd_t, nd_l = decode_blocks_batch(
+            [b["docs"] for b in bs], [b["tfs"] for b in bs],
+            None, [b["n"] for b in bs])
+        assert nd_l is None
+        assert (nd_d == got_d).all() and (nd_t == got_t).all()
