@@ -851,6 +851,124 @@ ORDER BY round(raw, 4) DESC, doc_id ASC
 LIMIT {TOPK_W}"""
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline: decontamination, sampling, PII redaction
+# (operators/pipeline.py)
+# ---------------------------------------------------------------------------
+
+DECONTAM_MOD = 97       # bench set = documents with doc_id % 97 == 0
+SAMPLE_RATE = 0.25      # global keep rate for the sampling gate query
+SAMPLE_STRATA = {"ru": 1.0, "zh": 0.0}  # keep all ru, drop all zh
+PII_MOD = 7             # docs with doc_id % 7 == 0 get injected PII
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every corpus doc sharing an 8-token
+    n-gram with the 'benchmark' set (here: a deterministic slice of the
+    corpus itself, doc_id % 97 — so the expected hits are the bench
+    docs at contamination 1.0 plus any natural n-gram reuse)."""
+    from .operators import pipeline as P
+    docs = _docs(spark, sf_dir)
+    bench = (docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    out = P.decontaminate(docs, bench, n=8)
+    return out.select("doc_id", "n_hits", "n_ngrams",
+                      F.round("contamination", 6).alias("contamination"))
+
+
+_SQL_DECONTAM = f"""
+WITH toksl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 6),
+                                  i -> array_to_string(list_slice(t, i, i + 7), ' '))
+         END AS shs
+  FROM toksl WHERE len(t) > 0
+),
+sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),
+sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN bench b USING (shingle) GROUP BY s.doc_id
+)
+SELECT h.doc_id, h.n_hits, z.n_ngrams,
+       round(h.n_hits::DOUBLE / z.n_ngrams, 6) AS contamination
+FROM hits h JOIN sizes z USING (doc_id)
+"""
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample (md5-keyed — the kept
+    set is a pure function of doc_id, reproducible across engines):
+    25% global, 100% of ru, 0% of zh."""
+    from .operators import pipeline as P
+    return P.sample_by_hash(_docs(spark, sf_dir), SAMPLE_RATE,
+                            strata=SAMPLE_STRATA).select("doc_id", "lang")
+
+
+def _sample_sql() -> str:
+    from .operators.pipeline import _SAMPLE_DOMAIN
+    t_glob = int(SAMPLE_RATE * _SAMPLE_DOMAIN)
+    cases = " ".join(
+        f"WHEN '{v}' THEN {min(_SAMPLE_DOMAIN, max(0, int(r * _SAMPLE_DOMAIN)))}"
+        for v, r in sorted(SAMPLE_STRATA.items()))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+      < CASE lang {cases} ELSE {t_glob} END
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over docs with deterministically injected emails/phone
+    numbers (doc_id % 7 — the synthetic corpus has no natural PII, so
+    the injection is mirrored in the oracle and the redacted TEXT is
+    hash-compared, pinning regexp semantics across engines)."""
+    from .operators import pipeline as P
+    docs = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or call +1 555 010"),
+        (F.col("doc_id") % 90 + 10).cast("string"))
+    aug = docs.withColumn(
+        "text", F.when(F.col("doc_id") % PII_MOD == 0,
+                       injected).otherwise(F.col("text")))
+    return P.pii_redact(aug)
+
+
+def _pii_sql() -> str:
+    from .operators.pipeline import EMAIL_RE, PHONE_RE
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_MOD} = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com or call +1 555 010'
+                   || (doc_id % 90 + 10)
+              ELSE text END AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g') AS t2
+  FROM p
+)
+SELECT doc_id,
+       regexp_replace(t2, '{PHONE_RE}', '[PHONE]', 'g') AS clean_text,
+       n_emails::BIGINT AS n_emails,
+       len(regexp_extract_all(t2, '{PHONE_RE}'))::BIGINT AS n_phones
+FROM e
+"""
+
+
 QUERIES = {
     "index_block_roundtrip": q_index_roundtrip,
     "search_wand_topk": q_search_wand_topk,
@@ -869,6 +987,9 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_metrics": q_text_metrics,
+    "decontaminate": q_decontaminate,
+    "sample_hash": q_sample_hash,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLES = {
@@ -889,4 +1010,7 @@ ORACLES = {
     "ann_cosine_topk": _SQL_ANN_BRUTE,
     "ann_ivf_topk": _SQL_ANN_IVF,
     "text_metrics": _text_metrics_sql(),
+    "decontaminate": _SQL_DECONTAM,
+    "sample_hash": _sample_sql(),
+    "pii_redact": _pii_sql(),
 }

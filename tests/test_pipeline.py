@@ -1,0 +1,96 @@
+"""Training-data pipeline operators (operators/pipeline.py):
+decontamination, deterministic sampling, PII redaction. Cross-engine
+value parity is gated by the decontaminate/sample_hash/pii_redact
+oracle rows; these tests pin the SEMANTIC invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_skillbox_spark.operators import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota", "en"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota", "en"),
+        (3, "one two three four five six seven eight nine ten", "en"),
+        (4, "совершенно другой текст на русском языке без пересечений "
+            "вообще ни одного совпадения здесь нет", "ru"),
+        (5, "short doc", "zh"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_exact_copy_is_fully_contaminated(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    out = {r["doc_id"]: r for r in
+           P.decontaminate(docs, bench, n=8).collect()}
+    # doc 1 IS the bench text; doc 2 is an exact copy — both 1.0
+    assert out[1]["contamination"] == 1.0
+    assert out[2]["contamination"] == 1.0
+    # non-overlapping docs never appear (no hits → no row)
+    assert 3 not in out and 4 not in out and 5 not in out
+
+
+def test_decontaminate_short_docs_participate(spark, docs):
+    # doc 5 has < n tokens → its full-token join is its one shingle;
+    # a bench set containing the same short text must flag it
+    bench = docs.filter(F.col("doc_id") == 5).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    out = {r["doc_id"]: r for r in
+           P.decontaminate(docs, bench, n=8).collect()}
+    assert out[5]["n_hits"] == 1 and out[5]["contamination"] == 1.0
+
+
+def test_sample_by_hash_deterministic_and_monotone(spark, docs):
+    big = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.when(F.col("id") % 3 == 0, "ru").otherwise("en").alias("lang"))
+    kept_a = {r["doc_id"] for r in
+              P.sample_by_hash(big, 0.3).select("doc_id").collect()}
+    kept_b = {r["doc_id"] for r in
+              P.sample_by_hash(big, 0.3).select("doc_id").collect()}
+    assert kept_a == kept_b  # pure function of the key
+    # monotone in rate: a smaller rate keeps a SUBSET (same hash order)
+    kept_small = {r["doc_id"] for r in
+                  P.sample_by_hash(big, 0.1).select("doc_id").collect()}
+    assert kept_small <= kept_a
+    # rate ≈ kept fraction (md5 uniformity; 2000 keys → ±5% easily)
+    assert 0.25 < len(kept_a) / 2000 < 0.35
+    # strata: rate-1.0 keeps EVERY member, rate-0.0 none
+    kept_s = {r["doc_id"] for r in
+              P.sample_by_hash(big, 0.0, strata={"ru": 1.0})
+              .select("doc_id").collect()}
+    ru_ids = {r["doc_id"] for r in
+              big.filter(F.col("lang") == "ru").select("doc_id").collect()}
+    assert kept_s == ru_ids
+
+
+def test_pii_redact_counts_and_idempotence(spark):
+    rows = [
+        (1, "reach me at a.b-c+x@mail.example.org or +1 (415) 555-0199 ok"),
+        (2, "no pii here just words"),
+        (3, "two mails x@y.io and z@w.co plus 212-555-0101 and 646 555 0102"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.pii_redact(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "[EMAIL]" in out[1]["clean_text"]
+    assert "[PHONE]" in out[1]["clean_text"]
+    assert "@" not in out[1]["clean_text"]
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    assert out[2]["clean_text"] == "no pii here just words"
+    assert out[3]["n_emails"] == 2 and out[3]["n_phones"] == 2
+    # idempotent: redacting already-clean text changes nothing
+    clean = P.pii_redact(
+        spark.createDataFrame(
+            [(k, v["clean_text"]) for k, v in out.items()],
+            "doc_id long, text string"))
+    for r in clean.collect():
+        assert r["n_emails"] == 0 and r["n_phones"] == 0
+        assert r["clean_text"] == out[r["doc_id"]]["clean_text"]
