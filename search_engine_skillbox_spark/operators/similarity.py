@@ -203,8 +203,12 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         (_dot(F.col("centroid"), q)
          / (_norm(F.col("centroid")) * _norm(q))).alias("ccos"))
         .orderBy(F.desc("ccos"), F.asc("cell")).limit(nprobe))
-    cand = emb.join(F.broadcast(probed.select("cell")),
-                    emb[cell_col] == F.col("cell"), "inner")
+    # probe cells under a private alias: with cell_col == "cell" (the
+    # kmeans_cells flow) a bare F.col("cell") in the join condition is
+    # ambiguous between the two sides
+    cand = emb.join(
+        F.broadcast(probed.select(F.col("cell").alias("_probe_cell"))),
+        emb[cell_col] == F.col("_probe_cell"), "inner")
     out = cand.select(
         F.col(id_col).alias("vec_id"),
         (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)))
