@@ -969,6 +969,29 @@ FROM e
 """
 
 
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (streaming/windows.py —
+    the SAME expression the watermarked stream runs; stream ≡ batch and
+    late-data drop are pinned in tests/test_streaming)."""
+    from .streaming.windows import windowed_event_stats
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # window + day
+    # alignment must match the oracle's date_trunc regardless of the
+    # driver session's machine timezone
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_stats(ev)
+
+
+_SQL_EVENTS_WINDOW = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "index_block_roundtrip": q_index_roundtrip,
     "search_wand_topk": q_search_wand_topk,
@@ -990,6 +1013,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_hash": q_sample_hash,
     "pii_redact": q_pii_redact,
+    "events_window": q_events_window,
 }
 
 ORACLES = {
@@ -1013,4 +1037,5 @@ ORACLES = {
     "decontaminate": _SQL_DECONTAM,
     "sample_hash": _sample_sql(),
     "pii_redact": _pii_sql(),
+    "events_window": _SQL_EVENTS_WINDOW,
 }

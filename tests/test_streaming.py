@@ -153,3 +153,91 @@ def test_stream_kill_and_restart_from_checkpoint(spark, tmp_path,
     b = [(r["doc_id"], round(r["score"], 9)) for r in
          wand_topk(spark, st2, ["merge", "join"], 10).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# event-time windowed aggregation with watermark (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+def _mk_events(spark, rows):
+    import datetime as dt
+    data = [(i, dt.datetime(2024, 1, d, h), u, t, float(v), "{}")
+            for i, (d, h, u, t, v) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_windowed_stream_complete_equals_batch(spark, tmp_path):
+    """complete-mode stream over the whole backlog ≡ the batch
+    aggregation (same expression by construction — this pins the
+    plumbing: schema, watermark injection, memory sink)."""
+    from search_engine_skillbox_spark.streaming import windows as W
+    rows = [(1, 1, 10, "a", 1.5), (1, 5, 11, "a", 2.0),
+            (1, 9, 10, "b", 3.25), (2, 2, 12, "a", 4.0),
+            (3, 3, 10, "a", 0.5), (3, 4, 13, "b", 7.75)]
+    ev = _mk_events(spark, rows)
+    src = str(tmp_path / "ev_src")
+    ev.coalesce(1).write.parquet(src)
+    W.windowed_event_stats_stream(
+        spark, src, str(tmp_path / "ev_ckpt"),
+        query_name="evw_complete", output_mode="complete")
+    got = {(r["day"], r["event_type"]):
+           (r["n_events"], round(r["total_value"], 4), r["n_users"])
+           for r in spark.sql("SELECT * FROM evw_complete").collect()}
+    want = {(r["day"], r["event_type"]):
+            (r["n_events"], round(r["total_value"], 4), r["n_users"])
+            for r in W.windowed_event_stats(ev).collect()}
+    assert got == want and len(want) == 5
+
+
+def test_windowed_stream_append_drops_late_rows(spark, tmp_path):
+    """Watermark semantics, pinned end-to-end and stated honestly:
+    append mode EMITS a window exactly once, at the end of the first
+    micro-batch whose watermark exceeds the window end, and a late row
+    arriving AFTER that finalization is DROPPED (its state is gone —
+    the guaranteed direction of Spark's watermark contract; a late row
+    arriving before finalization may still merge). Batch order is made
+    deterministic by staggering file modification times
+    (FileStreamSource orders the initial backlog by modTime; sub-second
+    writes tie and then order by random part-file name)."""
+    import os as _os
+    import time as _time
+
+    from search_engine_skillbox_spark.streaming import windows as W
+    src = str(tmp_path / "late_src")
+
+    def _write(df, mtime):
+        before = set(_os.listdir(src)) if _os.path.isdir(src) else set()
+        df.coalesce(1).write.mode("append").parquet(src)
+        for fn in set(_os.listdir(src)) - before:
+            _os.utime(_os.path.join(src, fn), (mtime, mtime))
+
+    now = _time.time()
+    # batch 0: two day-1 events + a day-9 event → watermark day 7
+    _write(_mk_events(spark, [(1, 1, 10, "a", 1.0),
+                              (1, 2, 11, "a", 2.0),
+                              (9, 1, 12, "a", 9.0)]), now - 7200)
+    # batch 1: an on-time day-8 event; during this batch wm = day 7 >
+    # day-1's window end → day-1 is emitted and its state evicted
+    _write(_mk_events(spark, [(8, 1, 13, "a", 0.5)]), now - 3600)
+    # batch 2: a LATE day-1 event — its window is already finalized
+    _write(_mk_events(spark, [(1, 3, 14, "a", 100.0)]), now)
+
+    W.windowed_event_stats_stream(
+        spark, src, str(tmp_path / "late_ckpt"),
+        query_name="evw_append", output_mode="append")
+    rows = spark.sql("SELECT * FROM evw_append").collect()
+    out = {r["day"]: (r["n_events"], round(r["total_value"], 4),
+                      r["n_users"])
+           for r in rows}
+    # day-1: emitted exactly once, WITHOUT the post-finalization 100.0
+    assert len(rows) == len(out)  # no double emission
+    assert out["2024-01-01"] == (2, 3.0, 2)
+    # day-8/day-9 windows: still open (wm never passes them) → withheld
+    assert "2024-01-08" not in out and "2024-01-09" not in out
+    # the batch answer over the same files INCLUDES the late row —
+    # the difference is precisely the declared drop semantics
+    batch = {r["day"]: r["n_events"] for r in W.windowed_event_stats(
+        spark.read.parquet(src)).collect()}
+    assert batch["2024-01-01"] == 3
