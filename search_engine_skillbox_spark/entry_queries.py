@@ -969,6 +969,45 @@ FROM e
 """
 
 
+SESSION_GAP_MIN = 240
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization of the events table (window
+    functions end to end — lag/running-sum/rollup on one user_id
+    shuffle). The streaming twin (applyInPandasWithState) is pinned
+    stream ≡ batch in tests/test_streaming."""
+    from .operators.pipeline import sessionize
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
+
+
+_SQL_SESSIONIZE = f"""
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) + 1)::BIGINT
+         AS session_idx
+  FROM lagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation (streaming/windows.py —
     the SAME expression the watermarked stream runs; stream ≡ batch and
@@ -1014,6 +1053,7 @@ QUERIES = {
     "sample_hash": q_sample_hash,
     "pii_redact": q_pii_redact,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
 }
 
 ORACLES = {
@@ -1038,4 +1078,5 @@ ORACLES = {
     "sample_hash": _sample_sql(),
     "pii_redact": _pii_sql(),
     "events_window": _SQL_EVENTS_WINDOW,
+    "sessionize": _SQL_SESSIONIZE,
 }

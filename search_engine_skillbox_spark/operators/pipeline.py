@@ -118,6 +118,41 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?\d[\d().\- ]{7,14}\d"
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 240,
+               user_col: str = "user_id",
+               ts_col: str = "ts") -> DataFrame:
+    """(user_id, session_idx, n_events, total_value, session_start,
+    session_end): split each user's event stream into sessions at
+    inactivity gaps > gap_minutes — the classic log-pipeline shape.
+
+    Window functions end to end: lag(ts) over (user order by ts) marks
+    session starts, a running sum numbers them, one aggregation rolls
+    them up. ONE shuffle on user_id which every window and the final
+    groupBy reuse (same key — Catalyst plans a single Exchange).
+    Timestamps come back formatted so cross-engine value hashes are
+    timezone-plumbing-proof."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.lit(gap_minutes * 60)
+    # parquet TIMESTAMP_NTZ refuses a direct →long cast under ANSI;
+    # hop through TIMESTAMP (session tz) first — epoch arithmetic only
+    # DIFFERENCES epochs, so the tz offset cancels
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    new_sess = F.when(epoch - F.lag(epoch).over(w) > gap, 1).otherwise(0)
+    marked = events.withColumn("_new", new_sess).withColumn(
+        "session_idx",
+        (F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) + 1)
+        .cast("long"))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (marked.groupBy(F.col(user_col).alias("user_id"),
+                           "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"),
+                 F.date_format(F.min(ts_col), fmt).alias("session_start"),
+                 F.date_format(F.max(ts_col), fmt).alias("session_end")))
+
+
 def pii_redact(docs: DataFrame, doc_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """(doc_id, clean_text, n_emails, n_phones): emails → [EMAIL],

@@ -241,3 +241,54 @@ def test_windowed_stream_append_drops_late_rows(spark, tmp_path):
     batch = {r["day"]: r["n_events"] for r in W.windowed_event_stats(
         spark.read.parquet(src)).collect()}
     assert batch["2024-01-01"] == 3
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization ≡ the batch
+    window-function sessionizer (operators/pipeline.sessionize) on
+    every session the stream can FINALIZE: gap-closed ones emit as the
+    next event arrives, and the trailing session flushes via the
+    event-time timeout once the watermark passes (end + gap). Only a
+    final session still inside the watermark horizon stays unflushed."""
+    import os as _os
+    import time as _time
+
+    from search_engine_skillbox_spark.operators.pipeline import sessionize
+    from search_engine_skillbox_spark.streaming.sessions import (
+        sessionize_stream)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "sess_src")
+
+    def _write(df, mtime):
+        before = set(_os.listdir(src)) if _os.path.isdir(src) else set()
+        df.coalesce(1).write.mode("append").parquet(src)
+        for fn in set(_os.listdir(src)) - before:
+            _os.utime(_os.path.join(src, fn), (mtime, mtime))
+
+    now = _time.time()
+    # user 10: session A (01:00-01:05, 2 ev), session B (09:00, 1 ev)
+    # user 11: session C (02:00, 1 ev)           — gap = 240 min
+    _write(_mk_events(spark, [(1, 1, 10, "a", 1.0)]), now - 7200)
+    _write(_mk_events(spark, [(1, 1, 10, "a", 2.0),   # same hour → A
+                              (1, 2, 11, "a", 5.0)]), now - 3600)
+    # batch 3: user 10 jumps 8 h → closes A, opens B; an event far in
+    # the future (user 12) drives the watermark past B's (end + gap)
+    # so the event-time timeout flushes B too; C flushes the same way.
+    _write(_mk_events(spark, [(1, 9, 10, "a", 3.0),
+                              (20, 1, 12, "a", 0.0)]), now)
+    sessionize_stream(spark, src, str(tmp_path / "sess_ckpt"),
+                      gap_minutes=240, watermark="10 minutes",
+                      query_name="sess_out")
+    got = {(r["user_id"], r["session_idx"]):
+           (r["n_events"], round(r["total_value"], 4),
+            r["session_start"], r["session_end"])
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    want = {(r["user_id"], r["session_idx"]):
+            (r["n_events"], round(r["total_value"], 4),
+             r["session_start"], r["session_end"])
+            for r in sessionize(
+                spark.read.parquet(src), gap_minutes=240).collect()}
+    # every batch session except user 12's trailing one (inside the
+    # watermark horizon — not yet flushable) must be emitted, exactly
+    want.pop((12, 1))
+    assert got == want and len(got) == 3
