@@ -327,7 +327,7 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]],
             order = np.lexsort((tm["row"][rows_sel], tm["rg"][rows_sel],
                                 tm["fi"][rows_sel]))
             rows_sel = rows_sel[order]
-            spans = []  # (fi, rg, take) in buffer order
+            spans = []  # (fi, rg, take) in buffer order (fi-major)
             i = 0
             while i < rows_sel.size:
                 fi = int(tm["fi"][rows_sel[i]])
@@ -340,20 +340,29 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]],
                 spans.append((fi, rg, tm["row"][rows_sel[i:j]]))
                 i = j
 
-            def _read(span):
-                fi, rg, take = span
-                return files[fi].read_row_group(rg, columns=cols).take(take)
-            if len(spans) > 2:
-                # pyarrow releases the GIL for IO + decompression: a
-                # small thread pool overlaps row-group reads of a
-                # full-list decode (tens of row groups for a stopword)
-                # while order is preserved by executor map semantics
+            # parallelize ACROSS FILES only: concurrent read_row_group
+            # calls on one ParquetFile handle are not thread-safe
+            # (shared reader state); distinct handles are independent.
+            # spans are fi-major after the lexsort, so grouping by fi
+            # keeps buffer order. pyarrow drops the GIL for the IO +
+            # decompression inside each group.
+            groups: list[list] = []
+            for s in spans:
+                if groups and groups[-1][0][0] == s[0]:
+                    groups[-1].append(s)
+                else:
+                    groups.append([s])
+
+            def _read_group(grp):
+                return [files[fi].read_row_group(
+                    rg, columns=cols).take(take) for fi, rg, take in grp]
+            if len(groups) > 2:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(DECODE_READ_THREADS) as pool:
-                    tbls = list(pool.map(_read, spans))
+                    tbl_groups = list(pool.map(_read_group, groups))
             else:
-                tbls = [_read(s) for s in spans]
-            for btbl in tbls:
+                tbl_groups = [_read_group(g) for g in groups]
+            for btbl in (t for grp in tbl_groups for t in grp):
                 docs_bufs.extend(btbl.column("docs").to_pylist())
                 tfs_bufs.extend(btbl.column("tfs").to_pylist())
                 if need_dls:
