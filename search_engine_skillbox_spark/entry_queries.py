@@ -969,6 +969,59 @@ FROM e
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1 as
+    reproduced by FineWeb/Dolma): per-doc signals + composite pass
+    flag, one codegen'd projection."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", *TS.gopher_quality(F.col("text")))
+
+
+def _gopher_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in
+                      (TS.EN_STOPWORDS + TS.RU_STOPWORDS))
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         CASE WHEN len(words) > 0
+              THEN (list_sum(list_transform(words, x -> length(x)))::BIGINT)::DOUBLE
+                   / len(words) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(words) > 0
+              THEN ((len(regexp_split_to_array(text, '#')) - 1)
+                    + (len(regexp_split_to_array(text, '…')) - 1)
+                    + (len(regexp_split_to_array(text, '\\.\\.\\.')) - 1))::DOUBLE
+                   / len(words) ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> regexp_matches(x, '\\p{{L}}')))::DOUBLE
+                   / len(words) ELSE 0.0 END AS alpha_word_frac,
+         len(list_distinct(list_filter(
+             list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+                         x -> x <> ''),
+             t -> t IN ({stops}))))::BIGINT AS stopword_hits
+  FROM w
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       stopword_hits,
+       (n_words >= {TS.GOPHER_MIN_WORDS} AND n_words <= {TS.GOPHER_MAX_WORDS}
+        AND mean_word_len >= {TS.GOPHER_MIN_MEAN_WL}
+        AND mean_word_len <= {TS.GOPHER_MAX_MEAN_WL}
+        AND symbol_ratio <= {TS.GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_word_frac >= {TS.GOPHER_MIN_ALPHA_WORD_FRAC}
+        AND stopword_hits >= {TS.GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
+FROM m
+"""
+
+
 SESSION_GAP_MIN = 240
 
 
@@ -1054,6 +1107,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "gopher_quality": q_gopher_quality,
 }
 
 ORACLES = {
@@ -1079,4 +1133,5 @@ ORACLES = {
     "pii_redact": _pii_sql(),
     "events_window": _SQL_EVENTS_WINDOW,
     "sessionize": _SQL_SESSIONIZE,
+    "gopher_quality": _gopher_sql(),
 }

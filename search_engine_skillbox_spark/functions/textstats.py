@@ -91,3 +91,59 @@ def doc_fingerprint(text_col: Column | str) -> Column:
                    lambda t, i: h32(t) * i.cast("long")),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     return F.when(F.size(tokens(c)) == 0, F.lit(0).cast("long")).otherwise(fp)
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021 §A1.1, as reproduced
+# by the FineWeb/Dolma open pipelines) — the standard web-corpus
+# document filter. All pure column expressions, ANSI-SQL-mirrorable.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(text_col: Column | str) -> list[Column]:
+    """The Gopher document-quality signals + the composite pass flag,
+    as named columns: n_words (whitespace tokens), mean_word_len,
+    symbol_ratio ('#'/'…'/'...' per word), alpha_word_frac (words
+    containing ≥1 letter), stopword_hits (distinct matches from the
+    en+ru cue lists), gopher_pass (the conjunction of the published
+    thresholds). One projection, zero Python."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.trim(c), r"\s+")
+    words = F.when(F.length(F.trim(c)) == 0,
+                   F.array().cast("array<string>")).otherwise(words)
+    n = F.size(words).cast("long")
+    mean_wl = F.when(
+        n > 0,
+        F.aggregate(F.transform(words, F.length),
+                    F.lit(0), lambda a, x: a + x).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    n_sym = (F.size(F.split(c, "#", -1)) - 1
+             + F.size(F.split(c, "…", -1)) - 1
+             + F.size(F.split(c, r"\.\.\.", -1)) - 1).cast("long")
+    sym_ratio = F.when(n > 0, n_sym.cast("double") / n).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+        .cast("double") / n
+    ).otherwise(F.lit(0.0))
+    toks = tokens(c)
+    stop_hits = F.size(F.array_distinct(F.filter(
+        toks, lambda t: t.isin(*(EN_STOPWORDS + RU_STOPWORDS))))) \
+        .cast("long")
+    gpass = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+             & (mean_wl >= GOPHER_MIN_MEAN_WL)
+             & (mean_wl <= GOPHER_MAX_MEAN_WL)
+             & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+             & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+             & (stop_hits >= GOPHER_MIN_STOPWORD_HITS))
+    return [n.alias("n_words"),
+            F.round(mean_wl, 6).alias("mean_word_len"),
+            F.round(sym_ratio, 6).alias("symbol_ratio"),
+            F.round(alpha_frac, 6).alias("alpha_word_frac"),
+            stop_hits.alias("stopword_hits"),
+            gpass.alias("gopher_pass")]

@@ -94,3 +94,24 @@ def test_pii_redact_counts_and_idempotence(spark):
     for r in clean.collect():
         assert r["n_emails"] == 0 and r["n_phones"] == 0
         assert r["clean_text"] == out[r["doc_id"]]["clean_text"]
+
+
+def test_gopher_quality_edges(spark):
+    """Gopher filter signals on constructed edges: empty text, a short
+    doc (fails min-words), and a passing doc with stopwords."""
+    from search_engine_skillbox_spark.functions import textstats as TS
+    from pyspark.sql import functions as F
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field while it is still light out "
+            "because the evening comes fast in the winter and the "
+            "path is long but the journey matters more than the end "
+            "so it keeps going and going") + " word" * 10
+    rows = [(1, ""), (2, "tiny doc"), (3, good), (4, "#### ## # ###")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *TS.gopher_quality(F.col("text"))).collect()}
+    assert out[1]["n_words"] == 0 and out[1]["gopher_pass"] is False
+    assert out[2]["n_words"] == 2 and out[2]["gopher_pass"] is False
+    assert out[3]["n_words"] >= 50 and out[3]["stopword_hits"] >= 2
+    assert out[3]["gopher_pass"] is True
+    assert out[4]["symbol_ratio"] > 0.1 and out[4]["gopher_pass"] is False
