@@ -106,17 +106,20 @@ def shingles(docs: DataFrame, k: int = 3, doc_col: str = "doc_id",
     toks = docs.select(F.col(doc_col).alias("doc_id"),
                        tokens(F.col(text_col)).alias("t"))
     toks = toks.filter(F.size("t") > 0)
-    sh = toks.select(
+    # dedup is PER DOC, so array_distinct before the explode does it
+    # map-side — a global .distinct() here was a full shuffle of the
+    # exploded corpus (the most expensive stage of every shingle
+    # consumer: all four dedup ops and decontaminate)
+    return toks.select(
         "doc_id",
-        F.explode(
+        F.explode(F.array_distinct(
             F.when(F.size("t") < k,
                    F.array(F.concat_ws(" ", F.col("t"))))
             .otherwise(
                 F.transform(
                     F.sequence(F.lit(0), F.size("t") - k),
                     lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k))))
-        ).alias("shingle"))
-    return sh.distinct()
+        )).alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
