@@ -258,13 +258,27 @@ def _dict_size(store: IndexStore) -> int:
     split alone retains the documented build/compact staleness (it
     needs per-(host, term) state no engine maintains incrementally)."""
     import pyarrow.parquet as pq
+
+    from .index_store import walk_parquet_files
+    # per-file footer counts memoized by (mtime_ns, size): a mutation
+    # rewrites only the touched bucket partitions, so steady-state cost
+    # is a directory walk + footer parses for the CHANGED files only
+    memo = getattr(store, "_dict_size_memo", None)
+    if memo is None:
+        memo = store._dict_size_memo = {}
     total = 0
-    base = os.path.join(store.path, "terms")
-    for root, _dirs, files in os.walk(base):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                total += pq.ParquetFile(
-                    os.path.join(root, fn)).metadata.num_rows
+    seen = set()
+    for fp in walk_parquet_files(os.path.join(store.path, "terms")):
+        st = os.stat(fp)
+        key = (st.st_mtime_ns, st.st_size)
+        hit = memo.get(fp)
+        if hit is None or hit[0] != key:
+            memo[fp] = (key,
+                        pq.ParquetFile(fp).metadata.num_rows)
+        seen.add(fp)
+        total += memo[fp][1]
+    for stale in set(memo) - seen:  # replaced partitions drop out
+        memo.pop(stale, None)
     return total
 
 
@@ -615,8 +629,16 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
     # needed by the tombstones step, which is ordered BEFORE docs: any
     # replay that can no longer recompute it has already committed it).
     note = lineage.get_note(bid, "oldstate")
-    if note is not None and "docs" in done:
-        # replay past the docs overwrite — aggregates from the note
+    if note is not None and "tombstones" in done:
+        # Replay where docs/ MAY have been overwritten — aggregates
+        # from the note. The guard is the TOMBSTONES step (the first
+        # one): steps run sequentially, so the docs overwrite can only
+        # have started after tombstones' DONE row landed. Keying on
+        # "docs" in done left a window — crash after the docs overwrite
+        # committed but before ITS done row — where the recompute read
+        # the already-overwritten rows (old ≡ new → zero deltas →
+        # silent meta drift). When tombstones is done, `olds` is never
+        # needed (its step is skipped) and the note is exact.
         olds = None
         olds_by_host = {k: int(v)
                         for k, v in note["olds_by_host"].items()}

@@ -625,7 +625,8 @@ class IndexStore:
                 if (st is not None and st.has_min_max
                         and not (st.min <= term <= st.max)):
                     continue
-                mtbl = pf.read_row_group(rg, columns=meta_cols)
+                from .serving import _read_rg
+                mtbl = _read_rg(pf, rg, meta_cols)
                 terms_a = mtbl.column("term").to_pylist()
                 salts_a = mtbl.column("salt").to_pylist()
                 gens_a = mtbl.column("gen").to_pylist()
@@ -645,8 +646,8 @@ class IndexStore:
                             idxs.append(i)
                 if not idxs:
                     continue
-                btbl = pf.read_row_group(
-                    rg, columns=["docs", "tfs", "dls"]).take(idxs)
+                btbl = _read_rg(
+                    pf, rg, ["docs", "tfs", "dls"]).take(idxs)
                 for j in range(len(idxs)):
                     d, t, dl = decode_block(
                         btbl.column("docs")[j].as_py(),
@@ -692,6 +693,20 @@ class IndexStore:
             for r in rows:
                 cache[r["term"]] = r
         return [cache[t] for t in q_terms if cache[t] is not None]
+
+
+def walk_parquet_files(path: str):
+    """Committed .parquet file paths under `path`, depth-first with
+    deterministic order. Skips staging/metadata entries — a crashed
+    Spark write leaves `_temporary/**` (and `.spark-staging-*`)
+    attempt files that a naive walk would serve as LIVE data (wrong
+    hydrate rows, inflated dictionary counts); every such entry starts
+    with '_' or '.', and real data files never do (part-*)."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if d[:1] not in ("_", "."))
+        for fn in sorted(files):
+            if fn.endswith(".parquet") and fn[:1] not in ("_", "."):
+                yield os.path.join(root, fn)
 
 
 def _dir_bytes(path: str) -> int:

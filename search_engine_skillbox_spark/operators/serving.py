@@ -92,14 +92,35 @@ def _scache(store: IndexStore) -> dict:
     return c
 
 
+_SLOCK_INIT = threading.Lock()  # guards first-time _serve_lock creation
+
+
 def _slock(store: IndexStore) -> threading.RLock:
     """One lock per IndexStore guarding the file-handle memo. Lives on
     the store OBJECT (not inside _serve_cache, which invalidate_reads
-    replaces wholesale) so concurrent serves always agree on it."""
+    replaces wholesale) so concurrent serves always agree on it.
+    Creation is double-checked under a module lock — a bare
+    getattr→assign would let two first-callers mint DIFFERENT locks
+    and proceed unexcluded."""
     lk = getattr(store, "_serve_lock", None)
     if lk is None:
-        lk = store._serve_lock = threading.RLock()
+        with _SLOCK_INIT:
+            lk = getattr(store, "_serve_lock", None)
+            if lk is None:
+                lk = store._serve_lock = threading.RLock()
     return lk
+
+
+def _read_rg(pf, rg: int, columns):
+    """read_row_group serialized per handle: one pyarrow ParquetFile's
+    reader state is not safe under concurrent reads (distinct handles
+    are). Memoized handles carry _sx_lock; ad-hoc per-call handles
+    don't need one."""
+    lk = getattr(pf, "_sx_lock", None)
+    if lk is None:
+        return pf.read_row_group(rg, columns=columns)
+    with lk:
+        return pf.read_row_group(rg, columns=columns)
 
 
 @contextmanager
@@ -112,6 +133,13 @@ def borrow_files(store: IndexStore):
     serving entry point (including terms_rows_arrow and the store's
     lookup_postings_arrow) wraps itself in this guard, so
     single-threaded use costs one lock acquisition and nothing else.
+
+    Bound caveat (disclosed): under CONTINUOUS overlap (≥2 borrowers
+    at every cap breach) the wholesale close keeps deferring and the
+    memo can exceed FILE_HANDLE_CAP until the first idle moment; a
+    service whose store has more parquet files than the fd limit AND
+    never a single-borrower window needs per-entry refcounted eviction
+    (not built — no current deployment shape hits it).
 
     The counter and pending flag live on the store OBJECT (like the
     lock), NOT inside _serve_cache: invalidate_reads swaps the cache
@@ -176,15 +204,17 @@ def _dir_files(store: IndexStore, relpath: str):
                 else:  # concurrent serves hold handles — defer
                     store._serve_close_pending = True
                 cache = c.setdefault("files", {})
+            from .index_store import walk_parquet_files
             d = os.path.join(store.path, relpath)
             files = []
             if os.path.isdir(d):
-                for root, _dirs, fns in os.walk(d):
-                    _dirs.sort()
-                    for fn in sorted(fns):
-                        if fn.endswith(".parquet"):
-                            files.append(
-                                pq.ParquetFile(os.path.join(root, fn)))
+                for fp in walk_parquet_files(d):
+                    pf = pq.ParquetFile(fp)
+                    # serializes read_row_group across threads: one
+                    # pyarrow handle's reader state is NOT safe under
+                    # concurrent reads (distinct handles are)
+                    pf._sx_lock = threading.Lock()
+                    files.append(pf)
             cache[relpath] = files
         return cache[relpath]
 
@@ -224,8 +254,10 @@ def _terms_rows_arrow(store: IndexStore, q_terms: list[str]):
             for pf in _bucket_files(store, "terms", b):
                 if pf.metadata.num_rows > TERMS_BUCKET_ROWS_CAP:
                     return None
-                tbl = pf.read(columns=["term", "df", "cf", "max_tf",
-                                       "n_salt"])
+                lk = getattr(pf, "_sx_lock", None) or threading.Lock()
+                with lk:
+                    tbl = pf.read(columns=["term", "df", "cf", "max_tf",
+                                           "n_salt"])
                 mask = pc.is_in(tbl.column("term"),
                                 value_set=pa.array(terms))
                 hit = tbl.filter(mask)
@@ -275,7 +307,7 @@ def _term_meta(store: IndexStore, term: str):
             if (st is not None and st.has_min_max
                     and not (st.min <= term <= st.max)):
                 continue
-            tbl = pf.read_row_group(rg, columns=META_COLS)
+            tbl = _read_rg(pf, rg, META_COLS)
             idxs = np.flatnonzero(
                 pc.equal(tbl.column("term"), term).to_numpy(
                     zero_copy_only=False))
@@ -354,8 +386,8 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]],
                     groups.append([s])
 
             def _read_group(grp):
-                return [files[fi].read_row_group(
-                    rg, columns=cols).take(take) for fi, rg, take in grp]
+                return [_read_rg(files[fi], rg, cols).take(take)
+                        for fi, rg, take in grp]
             if len(groups) > 2:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(DECODE_READ_THREADS) as pool:
@@ -442,12 +474,10 @@ def _host_doc_ids(store: IndexStore, host: str):
         cache.clear()
     hb = term_bucket(host, store.n_buckets)
     base = os.path.join(store.path, "docs", f"host_bucket={hb}")
+    from .index_store import walk_parquet_files
     pfs = []
     if os.path.isdir(base):
-        for root, _dirs, files in os.walk(base):
-            for fn in sorted(files):
-                if fn.endswith(".parquet"):
-                    pfs.append(pq.ParquetFile(os.path.join(root, fn)))
+        pfs = [pq.ParquetFile(fp) for fp in walk_parquet_files(base)]
     try:
         if sum(pf.metadata.num_rows for pf in pfs) > SITE_SLICE_CAP:
             cache[host] = None
@@ -916,7 +946,7 @@ def _hosts_for_ids(store: IndexStore, doc_ids: list[int]):
                 budget -= md.row_group(rg).num_rows
                 if budget < 0:
                     return None
-                tbl = pf.read_row_group(rg, columns=["doc_id", "host"])
+                tbl = _read_rg(pf, rg, ["doc_id", "host"])
                 got = tbl.column("doc_id").to_numpy(zero_copy_only=False)
                 keep = np.flatnonzero(_sorted_membership(want, got))
                 hosts = tbl.column("host")
@@ -987,13 +1017,13 @@ def serve_doc_rows(store: IndexStore, doc_ids: list[int]):
                         return None
                     # slim doc_id probe first; text pages are only
                     # decompressed for row groups with an actual hit
-                    got = (pf.read_row_group(rg, columns=["doc_id"])
+                    got = (_read_rg(pf, rg, ["doc_id"])
                            .column("doc_id")
                            .to_numpy(zero_copy_only=False))
                     keep = np.flatnonzero(_sorted_membership(want, got))
                     if keep.size == 0:
                         continue
-                    tbl = pf.read_row_group(rg, columns=cols).take(keep)
+                    tbl = _read_rg(pf, rg, cols).take(keep)
                     for j in range(tbl.num_rows):
                         r = {c: tbl.column(c)[j].as_py() for c in cols}
                         out[int(r["doc_id"])] = r

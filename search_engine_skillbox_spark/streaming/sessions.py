@@ -7,9 +7,12 @@ next session index. A micro-batch's events merge into it; every
 inactivity gap > gap_minutes closes a session, which is EMITTED with
 its chronological index; the trailing open session stays in state with
 an event-time timeout at (end + gap), so a user who goes quiet still
-gets their last session flushed once the watermark passes it — state
-never outlives the watermark horizon, which is what bounds memory at
-100 TB/day (state size = open sessions, not history).
+gets their last session flushed once the watermark passes it. After a
+flush the state keeps a counter-only residue (one 5-field tuple, no
+timeout) so a RETURNING user's sessions continue the chronological
+numbering instead of restarting at 1 — state is bounded by open
+sessions plus one tiny tombstone per user ever seen, not by event
+history.
 
 Stream ≡ batch is pinned in tests/test_streaming: the emitted closed
 sessions equal the batch sessionizer's rows for every session the
@@ -51,10 +54,17 @@ def _make_func(gap_minutes: int):
         user_id = int(key[0])
         if state.hasTimedOut:
             # watermark passed the open session's (end + gap): flush it
+            # but KEEP the counter — state.remove() would restart a
+            # returning user at session_idx 1 (duplicate keys, numbering
+            # diverging from the batch sessionizer). The counter row
+            # (n = 0) carries no timeout, so it never re-fires; the
+            # per-user residue is one 5-field tuple, disclosed in the
+            # module docstring.
             start, end, n, total, idx = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [_emit_row(user_id, idx, start, end, n, total)])
+            state.update((0, 0, 0, 0.0, idx + 1))
+            if n > 0:
+                yield pd.DataFrame(
+                    [_emit_row(user_id, idx, start, end, n, total)])
             return
         ev = pd.concat(list(pdfs))
         # wall-clock epochs (parquet NTZ values; the batch twin reads
@@ -66,6 +76,8 @@ def _make_func(gap_minutes: int):
         secs, vals = secs[order], vals[order]
         if state.exists:
             start, end, n, total, idx = state.get
+            if n == 0:
+                start = None  # counter-only residue: no open session
         else:
             start, end, n, total, idx = None, 0, 0, 0.0, 1
         out = []
@@ -77,7 +89,20 @@ def _make_func(gap_minutes: int):
                 out.append(_emit_row(user_id, idx, start, end, n, total))
                 idx += 1
                 start, end, n, total = s, s, 1, float(v)
+            elif start - s > gap:
+                # admitted-late event that predates the OPEN session by
+                # more than the gap: the batch sessionizer makes it its
+                # own earlier session — emit it now under the open
+                # session's ordinal and shift the open session up one,
+                # preserving chronological numbering. (Late data that
+                # predates an ALREADY-EMITTED session cannot be
+                # renumbered — inherent to streaming, disclosed.)
+                out.append(_emit_row(user_id, idx, s, s, 1, float(v)))
+                idx += 1
             else:
+                # merge; an admitted-late event may precede the open
+                # session's start — track the true min like the batch
+                start = min(start, s)
                 end = max(end, s)
                 n += 1
                 total += float(v)
@@ -87,7 +112,7 @@ def _make_func(gap_minutes: int):
             # (possible when this batch's events were all admitted-late)
             # — setting a timeout in the past would raise; flush now
             out.append(_emit_row(user_id, idx, start, end, n, total))
-            state.remove()
+            state.update((0, 0, 0, 0.0, idx + 1))
         else:
             state.update((start, end, n, total, idx))
             # flush the trailing session once the watermark passes it

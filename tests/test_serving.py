@@ -334,3 +334,51 @@ def test_serve_doc_rows_after_reindex_tombstoned(spark, store):
     got = sv.serve_doc_rows(store, [res["doc_id"]])
     assert got is not None
     assert got[res["doc_id"]]["text"] == "replaced hydrate body text"
+
+
+def test_staging_files_never_served(spark, mk_store):
+    """A crashed Spark write leaves `_temporary/**` attempt files; the
+    driver-side walkers (dictionary counts, hydrate point reads, host
+    slices, dir handles) must never read them as live data."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    st = mk_store("staging")
+    base_terms = sv.terms_rows_arrow(st, ["zzzq"])  # warm memos safely
+
+    from search_engine_skillbox_spark.operators.incremental import (
+        _dict_size)
+    n0 = _dict_size(st)
+    ids = [r["doc_id"] for r in
+           st.docs(spark).select("doc_id").limit(3).collect()]
+    rows0 = sv.serve_doc_rows(st, ids)
+    assert rows0 is not None and len(rows0) == len(ids)
+
+    # plant staging garbage in terms/ (a bucket partition) and in a
+    # doclens partition that one of the ids actually resolves through
+    from search_engine_skillbox_spark.functions.hashing import doc_bucket
+    db = doc_bucket(int(ids[0]), st.n_buckets)
+    junk = pa.table({"doc_id": pa.array([ids[0]], pa.int64()),
+                     "dl": pa.array([10**6], pa.int32()),
+                     "host": pa.array(["evil.test"])})
+    for rel in [os.path.join("terms", "bucket=0", "_temporary", "0"),
+                os.path.join("doclens", f"doc_bucket={db}",
+                             "_temporary", "0")]:
+        d = os.path.join(st.path, rel)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(junk, os.path.join(d, "part-junk.parquet"))
+    st.invalidate_reads()
+
+    assert _dict_size(st) == n0  # staging rows don't inflate lemmas
+    rows1 = sv.serve_doc_rows(st, ids)
+    assert rows1 is not None
+    # the planted 'evil.test' host must not have hijacked the doclens
+    # host resolution — every id still hydrates to its real row
+    assert {d: r["host"] for d, r in rows1.items()} == \
+        {d: r["host"] for d, r in rows0.items()}
+    for rel in ["terms/bucket=0/_temporary",
+                f"doclens/doc_bucket={db}/_temporary"]:
+        shutil.rmtree(os.path.join(st.path, rel))

@@ -292,3 +292,43 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
     # watermark horizon — not yet flushable) must be emitted, exactly
     want.pop((12, 1))
     assert got == want and len(got) == 3
+
+
+def test_sessionize_counter_survives_timeout_flush(spark, tmp_path):
+    """A timeout-flushed user who RETURNS must continue chronological
+    session numbering (the flush keeps a counter-only state residue) —
+    a state.remove() there would re-emit session_idx 1 and collide."""
+    import os as _os
+    import time as _time
+
+    from search_engine_skillbox_spark.streaming.sessions import (
+        sessionize_stream)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "ret_src")
+
+    def _write(df, mtime):
+        before = set(_os.listdir(src)) if _os.path.isdir(src) else set()
+        df.coalesce(1).write.mode("append").parquet(src)
+        for fn in set(_os.listdir(src)) - before:
+            _os.utime(_os.path.join(src, fn), (mtime, mtime))
+
+    now = _time.time()
+    # b0: user 10 session A; a far-future user-12 event drives the wm
+    _write(_mk_events(spark, [(1, 1, 10, "a", 1.0),
+                              (9, 1, 12, "a", 0.0)]), now - 9000)
+    # b1: filler (user 13) — user 10's timeout fires during this batch
+    _write(_mk_events(spark, [(9, 2, 13, "a", 0.0)]), now - 6000)
+    # b2: user 10 RETURNS → session B must take idx 2
+    _write(_mk_events(spark, [(9, 3, 10, "a", 2.0)]), now - 3000)
+    # b3: far-future event → wm passes session B's gap → B flushes
+    _write(_mk_events(spark, [(20, 1, 14, "a", 0.0)]), now)
+
+    sessionize_stream(spark, src, str(tmp_path / "ret_ckpt"),
+                      gap_minutes=240, watermark="10 minutes",
+                      query_name="sess_ret")
+    got = sorted((r["user_id"], r["session_idx"], r["n_events"],
+                  round(r["total_value"], 4))
+                 for r in spark.sql(
+                     "SELECT * FROM sess_ret WHERE user_id = 10")
+                 .collect())
+    assert got == [(10, 1, 1, 1.0), (10, 2, 1, 2.0)]
