@@ -382,3 +382,44 @@ def test_staging_files_never_served(spark, mk_store):
     for rel in ["terms/bucket=0/_temporary",
                 f"doclens/doc_bucket={db}/_temporary"]:
         shutil.rmtree(os.path.join(st.path, rel))
+
+
+def test_concurrent_serving_consistent(spark, store, qterms):
+    """The serving tier under real thread concurrency: many overlapping
+    serve_topk / serve_site_topk / serve_doc_rows calls on ONE store
+    must equal the single-threaded answers and raise nothing — pins the
+    borrow-files deferral, the per-handle read locks (_read_rg), and
+    the double-checked _serve_lock creation. A tiny FILE_HANDLE_CAP
+    forces close-resets to actually contend mid-flight."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    host = next(iter(store.meta().get("n_docs_by_host", {})))
+    ids = [r["doc_id"] for r in
+           store.docs(spark).select("doc_id").limit(4).collect()]
+
+    def one(i):
+        kind = i % 3
+        if kind == 0:
+            return ("topk", tuple(sv.serve_topk(store, qterms, 10)))
+        if kind == 1:
+            return ("site", tuple(
+                sv.serve_site_topk(store, qterms, 10, host)))
+        rows = sv.serve_doc_rows(store, ids)
+        return ("doc", tuple(sorted((d, r["host"])
+                                    for d, r in rows.items())))
+
+    # single-threaded ground truth
+    want = {k: v for k, v in (one(i) for i in range(3))}
+
+    old_cap = sv.FILE_HANDLE_CAP
+    sv.FILE_HANDLE_CAP = 4  # force frequent close-reset attempts
+    try:
+        with ThreadPoolExecutor(8) as pool:
+            results = list(pool.map(one, range(48)))
+    finally:
+        sv.FILE_HANDLE_CAP = old_cap
+    for kind, val in results:
+        assert val == want[kind], kind
+    # the deferred close must eventually fire (no borrower active now)
+    sv.close_files(store)
+    assert not getattr(store, "_serve_close_pending", False)
