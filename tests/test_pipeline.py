@@ -96,6 +96,38 @@ def test_pii_redact_counts_and_idempotence(spark):
         assert r["clean_text"] == out[r["doc_id"]]["clean_text"]
 
 
+def test_pii_phone_precision_and_engine_parity(spark):
+    """ADVICE r5: the old \\+?\\d[...]{7,14}\\d phone pattern redacted
+    ISO dates, order ids, and prices as [PHONE] (over-redaction
+    corrupting training text). The shape-anchored pattern must leave
+    non-PII numerics alone, still catch real phone formats, and behave
+    byte-identically in Spark (Java regex) and DuckDB (RE2)."""
+    import duckdb
+
+    from search_engine_skillbox_spark.operators.pipeline import PHONE_RE
+    keep = ["date 2024-01-01 here", "euro 01.02.2024 date",
+            "price 1,234.56 or 1234.56", "order id 123456789012",
+            "in 1995 we shipped v1.2.3", "ip 192.168.001.001",
+            "ranges 100 - 200 - 300 ok"]
+    redact = ["+1 555 01012", "+7 (495) 123-45-67", "(555) 010-1234",
+              "555-010-1234", "646 555 0102", "call +1 (415) 555-0199 ok"]
+    rows = [(i, t) for i, t in enumerate(keep + redact)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.pii_redact(df).collect()}
+    for i, t in enumerate(keep):
+        assert out[i]["n_phones"] == 0 and out[i]["clean_text"] == t, t
+    for j in range(len(keep), len(rows)):
+        assert out[j]["n_phones"] == 1, rows[j]
+        assert "[PHONE]" in out[j]["clean_text"]
+    # engine parity on the exact redacted text (the gate's hash basis)
+    con = duckdb.connect()
+    for i, t in rows:
+        dd = con.execute(
+            "SELECT regexp_replace(?, ?, '[PHONE]', 'g')",
+            [t, PHONE_RE]).fetchone()[0]
+        assert dd == out[i]["clean_text"], t
+
+
 def test_gopher_quality_edges(spark):
     """Gopher filter signals on constructed edges: empty text, a short
     doc (fails min-words), and a passing doc with stopwords."""

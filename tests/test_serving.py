@@ -244,29 +244,46 @@ def test_serve_doc_rows_cap_declines(spark, store, monkeypatch):
     assert sv.serve_doc_rows(store, ids) is None
 
 
-def test_borrow_defers_wholesale_close(store):
-    """ADVICE r4: a FILE_HANDLE_CAP breach must NOT close handles a
-    concurrent borrower may be iterating — the close is deferred to the
-    last borrower's exit."""
+def test_borrow_protects_held_entries_from_eviction(store):
+    """ADVICE r4+r5: a FILE_HANDLE_CAP breach must close ONLY memo
+    entries no active borrower holds — a borrower's touched handles
+    stay open and usable, while unheld entries are evicted IMMEDIATELY
+    (the round-4 deferral let the memo exceed the cap indefinitely
+    under sustained concurrent serving)."""
+    import threading
+
     import search_engine_skillbox_spark.operators.serving as svm
     store.invalidate_reads()
     old_cap = svm.FILE_HANDLE_CAP
     svm.FILE_HANDLE_CAP = 1
     try:
+        # an UNHELD entry (opened outside any borrow, e.g. by a borrower
+        # that already exited) is fair game at the next breach
+        stale = sv._dir_files(store, "terms/bucket=2")
         with sv.borrow_files(store):
             first = sv._dir_files(store, "terms/bucket=0")
             assert first, "fixture store should have terms bucket 0"
-            with sv.borrow_files(store):  # second active borrower
-                # cap breach while 2 borrowers active → deferred close
-                sv._dir_files(store, "terms/bucket=1")
-                assert store._serve_close_pending is True
-                # the first borrower's handles are still open and usable
-                assert first[0].metadata.num_rows >= 0
-            # still one borrower active → close still deferred
-            assert store._serve_close_pending is True
-        # last borrower exited → the deferred close ran
-        assert sv._scache(store).get("files") == {}
-        assert not store._serve_close_pending
+
+            # a breach from a CONCURRENT thread evicts the stale entry
+            # but must keep this thread's held handles open
+            def other():
+                with sv.borrow_files(store):
+                    sv._dir_files(store, "terms/bucket=1")
+            t = threading.Thread(target=other)
+            t.start()
+            t.join()
+            cache = sv._scache(store)["files"]
+            assert "terms/bucket=2" not in cache  # stale entry evicted
+            assert cache.get("terms/bucket=0") is first  # held: kept
+            # held handles still open and usable
+            assert first[0].metadata.num_rows >= 0
+            if stale:  # the evicted handles were actually CLOSED
+                import pytest as _pytest
+                with _pytest.raises(Exception):
+                    stale[0].read_row_group(0)
+        # all borrows exited → nothing is protected at the next breach
+        sv._dir_files(store, "terms/bucket=3")
+        assert "terms/bucket=0" not in sv._scache(store)["files"]
     finally:
         svm.FILE_HANDLE_CAP = old_cap
         store.invalidate_reads()

@@ -168,23 +168,27 @@ def _mk_events(spark, rows):
               "event_type string, value double, props string")
 
 
-def test_windowed_stream_complete_equals_batch(spark, tmp_path):
-    """complete-mode stream over the whole backlog ≡ the batch
-    aggregation (same expression by construction — this pins the
-    plumbing: schema, watermark injection, memory sink)."""
+def test_windowed_stream_finalized_equals_batch(spark, tmp_path):
+    """append-mode stream over the whole backlog ≡ the batch
+    aggregation on every FINALIZED window (same chained two-level
+    expression by construction — this pins the plumbing: schema,
+    watermark injection through BOTH stateful operators, memory sink).
+    A far-future sentinel event drives the watermark past all real
+    windows so each is emitted exactly once; the sentinel's own window
+    stays open and is excluded from the batch side."""
     from search_engine_skillbox_spark.streaming import windows as W
     rows = [(1, 1, 10, "a", 1.5), (1, 5, 11, "a", 2.0),
             (1, 9, 10, "b", 3.25), (2, 2, 12, "a", 4.0),
             (3, 3, 10, "a", 0.5), (3, 4, 13, "b", 7.75)]
     ev = _mk_events(spark, rows)
+    sentinel = _mk_events(spark, [(20, 1, 99, "zz", 0.0)])
     src = str(tmp_path / "ev_src")
-    ev.coalesce(1).write.parquet(src)
+    ev.unionAll(sentinel).coalesce(1).write.parquet(src)
     W.windowed_event_stats_stream(
-        spark, src, str(tmp_path / "ev_ckpt"),
-        query_name="evw_complete", output_mode="complete")
+        spark, src, str(tmp_path / "ev_ckpt"), query_name="evw_final")
     got = {(r["day"], r["event_type"]):
            (r["n_events"], round(r["total_value"], 4), r["n_users"])
-           for r in spark.sql("SELECT * FROM evw_complete").collect()}
+           for r in spark.sql("SELECT * FROM evw_final").collect()}
     want = {(r["day"], r["event_type"]):
             (r["n_events"], round(r["total_value"], 4), r["n_users"])
             for r in W.windowed_event_stats(ev).collect()}
@@ -226,7 +230,7 @@ def test_windowed_stream_append_drops_late_rows(spark, tmp_path):
 
     W.windowed_event_stats_stream(
         spark, src, str(tmp_path / "late_ckpt"),
-        query_name="evw_append", output_mode="append")
+        query_name="evw_append")
     rows = spark.sql("SELECT * FROM evw_append").collect()
     out = {r["day"]: (r["n_events"], round(r["total_value"], 4),
                       r["n_users"])
