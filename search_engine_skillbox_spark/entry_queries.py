@@ -9,6 +9,8 @@ oracle SQL, so semantics stay fully checked.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1025,15 +1027,40 @@ FROM m
 SESSION_GAP_MIN = 240
 
 
+@contextmanager
+def _utc_analysis(spark: SparkSession):
+    """Pin spark.sql.session.timeZone=UTC for the duration of the
+    with-block, restoring the previous value (or unsetting) on exit.
+    Timezone-aware expressions (date_format, timestamp casts, window)
+    get their timeZoneId STAMPED at analysis time — which PySpark runs
+    eagerly at DataFrame construction — so building the plan inside
+    this block bakes UTC semantics in while later queries in the same
+    session see their own timezone again (ADVICE r5: the old
+    set-and-never-restore made timestamp-sensitive gate results
+    ordering-dependent). Pinned by
+    tests/test_streaming::test_gate_queries_restore_session_timezone,
+    which also re-verifies the analysis-time-baking assumption."""
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "UTC")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization of the events table (window
     functions end to end — lag/running-sum/rollup on one user_id
     shuffle). The streaming twin (applyInPandasWithState) is pinned
     stream ≡ batch in tests/test_streaming."""
     from .operators.pipeline import sessionize
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
+    with _utc_analysis(spark):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
 
 
 _SQL_SESSIONIZE = f"""
@@ -1066,11 +1093,10 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME expression the watermarked stream runs; stream ≡ batch and
     late-data drop are pinned in tests/test_streaming)."""
     from .streaming.windows import windowed_event_stats
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # window + day
-    # alignment must match the oracle's date_trunc regardless of the
-    # driver session's machine timezone
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return windowed_event_stats(ev)
+    with _utc_analysis(spark):  # window + day alignment must match the
+        # oracle's date_trunc regardless of the session timezone
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return windowed_event_stats(ev)
 
 
 _SQL_EVENTS_WINDOW = """

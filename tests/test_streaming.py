@@ -336,3 +336,41 @@ def test_sessionize_counter_survives_timeout_flush(spark, tmp_path):
                      "SELECT * FROM sess_ret WHERE user_id = 10")
                  .collect())
     assert got == [(10, 1, 1, 1.0), (10, 2, 1, 2.0)]
+
+
+def test_gate_queries_restore_session_timezone(spark):
+    """ADVICE r5: q_sessionize / q_events_window used to pin UTC
+    session-wide and never restore it, so later timestamp-sensitive
+    queries in the same session saw a different timezone than when run
+    alone. They now pin UTC only around DataFrame CONSTRUCTION — this
+    pins (a) the conf is restored, and (b) the analysis-time-baking
+    assumption the fix relies on: timezone-aware expressions stamp
+    their timeZoneId when the plan is analyzed (eagerly, at
+    construction), so collecting under a DIFFERENT session timezone
+    still yields the UTC answer."""
+    from search_engine_skillbox_spark import entry_queries as EQ
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    try:
+        def rows(df):
+            return sorted((r["day"], r["event_type"], r["n_events"],
+                           r["n_users"], round(r["total_value"], 4))
+                          for r in df.collect())
+        want = rows(EQ.q_events_window(spark, sf))  # built under UTC
+        spark.conf.set(key, "America/New_York")
+        df = EQ.q_events_window(spark, sf)
+        assert spark.conf.get(key) == "America/New_York"  # restored
+        spark.conf.set(key, "Asia/Tokyo")  # collect under a 3rd tz
+        assert rows(df) == want  # UTC baked at analysis time
+        s = EQ.q_sessionize(spark, sf)
+        assert spark.conf.get(key) == "Asia/Tokyo"  # restored
+        got = sorted((r["user_id"], r["session_idx"],
+                      r["session_start"]) for r in s.collect())
+        spark.conf.set(key, prev)
+        s2 = EQ.q_sessionize(spark, sf)
+        want2 = sorted((r["user_id"], r["session_idx"],
+                        r["session_start"]) for r in s2.collect())
+        assert got == want2
+    finally:
+        spark.conf.set(key, prev)
