@@ -536,6 +536,76 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("bigint").alias("n_bytes"))
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end in this container: closed-form
+    pixels (value(x,y,c) = (doc_id + 17y + 7x + 11c) mod 256, w =
+    doc_id%24+8, h = (doc_id·7)%24+8, RGB) are encoded into genuine
+    PNG bytes (sources/png.py: zlib deflate + per-row filters cycling
+    through all five types + multi-chunk IDAT), then decode_image_meta
+    routes them through the vendored decoder — actual inflate +
+    unfilter. The oracle recomputes width/height/sha from the FORMULA
+    alone (it never sees the PNG bytes), so any decode defect — wrong
+    filter reversal, bad chunk reassembly, off-by-one stride — flips
+    the pixel-sum hash. n_bytes is excluded: the compressed size is
+    zlib-version-dependent, not SQL-derivable."""
+    import numpy as np
+    import pandas as pd
+
+    from .sources import multimodal as MM
+    from .sources.multimodal import MEDIA_SCHEMA
+    from .sources.png import encode_png
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 24 + 8, (did * 7) % 24 + 8
+                ys, xs, cs = np.indices((h, w, 3))
+                px = ((did + 17 * ys + 7 * xs + 11 * cs) % 256
+                      ).astype(np.uint8).tobytes()
+                rows.append({"media_id": did, "kind": "image",
+                             "data": encode_png(w, h, px),
+                             "mime": "image/png",
+                             "source_url": f"https://img.test/{did}.png"})
+            yield pd.DataFrame(rows)
+
+    media = (_docs(spark, sf_dir).select("doc_id")
+             .mapInPandas(gen, MEDIA_SCHEMA))
+    meta = MM.decode_image_meta(media)
+    return meta.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "mode",
+        F.col("sha").cast("bigint").alias("sha"))
+
+
+# sha = (Σ over decoded samples) mod 2^31−1, recomputed from the pixel
+# formula: sample i (c fastest) has y = (i//3)//w, x = (i//3)%w, c = i%3
+_SQL_MULTIMODAL_PNG = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         doc_id % 24 + 8 AS w,
+         (doc_id * 7) % 24 + 8 AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h,
+         unnest(range(0, w * h * 3)) AS i
+  FROM m
+)
+SELECT media_id,
+       any_value(w)::BIGINT AS width,
+       any_value(h)::BIGINT AS height,
+       'RGB' AS mode,
+       (sum((media_id + 17 * ((i // 3) // w) + 7 * ((i // 3) % w)
+             + 11 * (i % 3)) % 256) % 2147483647)::BIGINT AS sha
+FROM px
+GROUP BY media_id
+"""
+
+
 _SQL_MULTIMODAL_FRAMES = """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -1119,6 +1189,7 @@ QUERIES = {
     "search_after_stream": q_search_after_stream,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_png": q_multimodal_png,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1145,6 +1216,7 @@ ORACLES = {
     "search_after_stream": _SQL_WAND,
     "multimodal_meta": _SQL_MULTIMODAL_META,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
+    "multimodal_png": _SQL_MULTIMODAL_PNG,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": _minhash_sql(),

@@ -2,13 +2,18 @@
 columns with typed metadata, processed through Arrow-batched
 mapInPandas.
 
-This container ships no decode libraries (PIL/ffmpeg absent), so the
-decode kernels are STUBS behind import-guards: when the real library is
-missing, `decode_image` raises NotImplementedError unless
-`fake_decode=True`, in which case a deterministic fake (header-derived
-metadata + byte-histogram features) stands in. The SPARK-SIDE contract
-— schemas, batch iteration, partition sizing, UDF signatures — is real
-and tested; swapping the kernel for PIL/torchaudio later changes no
+This container ships no decode libraries (PIL/ffmpeg absent). PNG
+decode is REAL anyway: `sources/png.py` is a vendored pure-Python codec
+(stdlib zlib + chunk parsing + the five filter reversals), and
+`decode_image_meta` / `extract_features` route any `\x89PNG`-signature
+buffer through it — actual inflate + unfilter of compressed bytes,
+oracle-gated (`multimodal_png`). Other formats (JPEG, audio, video
+keyframes) remain STUBS behind import-guards: when the real library is
+missing they raise NotImplementedError unless `fake_decode=True`, in
+which case a deterministic fake (FIMG header-derived metadata +
+byte-histogram features) stands in. The SPARK-SIDE contract — schemas,
+batch iteration, partition sizing, UDF signatures — is identical across
+all three paths; swapping kernels for PIL/torchaudio later changes no
 plan shape.
 
 Scale notes: media bytes dominate row size → `spark.sql.files.
@@ -74,29 +79,40 @@ def _decode_header(data: bytes) -> tuple[int, int]:
 
 
 def decode_image_meta(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """binary → typed metadata. Real path would call PIL.Image.open on
-    each byte buffer; stubbed deterministically here."""
+    """binary → typed metadata. PNG buffers (by signature) take the
+    REAL decode path — vendored pure-Python inflate + unfilter
+    (sources/png.py; PIL preferred when importable) — and their `sha`
+    is a checksum of the DECODED PIXELS (sum of samples mod 2^31−1), so
+    a wrong unfilter flips the oracle hash. FIMG buffers keep the
+    deterministic header stub; any other format raises unless
+    fake_decode permits the stub contract."""
     if not fake_decode and not HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires PIL — not available in this container; "
-            "pass fake_decode=True for the deterministic stub")
+            "non-PNG image decode requires PIL — not available in this "
+            "container; PNG decodes for real, pass fake_decode=True for "
+            "the FIMG stub")
 
     def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import SIGNATURE, decode_png
         for pdf in batches:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 b = bytes(data)
-                w, h = _decode_header(b)
-                # header checksum: u64le(first 8 bytes) mod the Mersenne
-                # prime 2^31−1 — EXACT python-int math. (The original
-                # numpy form `uint64_value % (1 << 31)` silently
-                # promotes uint64-with-signed-int to float64 and loses
-                # low bits, and a 2^31 modulus of a little-endian u64
-                # keeps only the constant magic bytes — caught by the
-                # multimodal_meta DuckDB oracle.)
-                sha = int.from_bytes(b[:8], "little") % 2147483647
+                if b[:8] == SIGNATURE:
+                    w, h, mode, px = decode_png(b)
+                    # EXACT python-int math (int() before sum-mod):
+                    # numpy u64 % python-int silently promotes to
+                    # float64 and loses low bits — round-5 bug class
+                    sha = int(np.frombuffer(px, np.uint8)
+                              .sum(dtype=np.uint64)) % 2147483647
+                else:
+                    w, h = _decode_header(b)
+                    mode = "RGB"
+                    # header checksum: u64le(first 8 bytes) mod the
+                    # Mersenne prime 2^31−1
+                    sha = int.from_bytes(b[:8], "little") % 2147483647
                 out.append({"media_id": int(mid), "width": w, "height": h,
-                            "mode": "RGB", "n_bytes": len(b),
+                            "mode": mode, "n_bytes": len(b),
                             "sha": sha})
             yield pd.DataFrame(out)
 
@@ -105,17 +121,23 @@ def decode_image_meta(media: DataFrame, fake_decode: bool = True) -> DataFrame:
 
 def extract_features(media: DataFrame, dim: int = 16,
                      fake_decode: bool = True) -> DataFrame:
-    """binary → fixed-width float features (here: normalized byte
-    histogram — deterministic; the real kernel would be a vision model).
+    """binary → fixed-width float features (normalized byte histogram —
+    over REAL decoded pixels for PNG buffers, over the payload bytes
+    for the FIMG stub; the production kernel would be a vision model).
     Output feeds similarity.cosine_topk / dedup.embedding_neardup_pairs."""
     if not fake_decode and not HAVE_PIL:
         raise NotImplementedError("real feature extraction unavailable")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import SIGNATURE, decode_png
         for pdf in batches:
             ids, vecs = [], []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                arr = np.frombuffer(bytes(data)[8:], np.uint8)
+                b = bytes(data)
+                if b[:8] == SIGNATURE:
+                    arr = np.frombuffer(decode_png(b)[3], np.uint8)
+                else:
+                    arr = np.frombuffer(b[8:], np.uint8)
                 hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
                 v = hist.astype(np.float32)
                 n = np.linalg.norm(v)
