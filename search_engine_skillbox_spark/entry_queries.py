@@ -1158,6 +1158,70 @@ GROUP BY user_id, session_idx
 """
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING sessionizer (applyInPandasWithState,
+    streaming/sessions.py) against the batch DuckDB oracle — the
+    stream ≡ batch claim as a hash-checked gate row, not just a pytest.
+
+    The events table is staged as micro-batch 0 (FileStreamSource
+    orders the backlog by file mtime — staggered explicitly), followed
+    by two sentinel files for a synthetic user −1: the first drives the
+    watermark past every real session's timeout deadline (end + gap),
+    the second provides the batch in which those timeouts FIRE, so
+    every real session is finalized and emitted. The sentinel user is
+    excluded from the result; the oracle is the SAME _SQL_SESSIONIZE
+    the batch gate row uses — identical output means the stateful
+    kernel (merge, gap-split, timeout flush, counter residue)
+    reproduces the window-function semantics event for event."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from .streaming.sessions import sessionize_stream
+
+    with _utc_analysis(spark):  # NTZ parquet read as LTZ: epochs must
+        # be wall-clock (sessions.py reads them as such), and streams
+        # EXECUTE inside this block (awaitTermination below)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        max_ts = ev.agg(F.max(F.col("ts").cast("timestamp")
+                              .cast("long"))).collect()[0][0]
+        gap_s, wm_s = SESSION_GAP_MIN * 60, 600
+        work = tempfile.mkdtemp(prefix="sess_stream_gate_")
+        src, ckpt = os.path.join(work, "src"), os.path.join(work, "ckpt")
+
+        def _stage(df, mtime):
+            before = (set(os.listdir(src)) if os.path.isdir(src)
+                      else set())
+            df.coalesce(1).write.mode("append").parquet(src)
+            for fn in set(os.listdir(src)) - before:
+                os.utime(os.path.join(src, fn), (mtime, mtime))
+
+        now = time.time()
+        _stage(ev, now - 7200)
+        s1 = max_ts + gap_s + wm_s + 3600
+        for i, ep in enumerate((s1, s1 + 3600)):
+            sent = spark.createDataFrame(
+                [(-(i + 1), ep, -1, "zz", 0.0, "{}")],
+                "event_id long, ts long, user_id long, "
+                "event_type string, value double, props string"
+            ).withColumn("ts", F.timestamp_seconds("ts"))
+            _stage(sent.select("event_id", "ts", "user_id",
+                               "event_type", "value", "props"),
+                   now - 3600 + i * 1800)
+
+        name = f"sess_gate_{uuid.uuid4().hex[:8]}"
+        sessionize_stream(spark, src, ckpt,
+                          gap_minutes=SESSION_GAP_MIN,
+                          watermark=f"{wm_s // 60} minutes",
+                          query_name=name)
+        return (spark.table(name)
+                .where(F.col("user_id") >= 0)
+                .select("user_id", "session_idx", "n_events",
+                        F.round("total_value", 4).alias("total_value"),
+                        "session_start", "session_end"))
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation (streaming/windows.py —
     the SAME expression the watermarked stream runs; stream ≡ batch and
@@ -1204,6 +1268,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "sessionize_stream": q_sessionize_stream,
     "gopher_quality": q_gopher_quality,
 }
 
@@ -1231,5 +1296,8 @@ ORACLES = {
     "pii_redact": _pii_sql(),
     "events_window": _SQL_EVENTS_WINDOW,
     "sessionize": _SQL_SESSIONIZE,
+    # the stream gate compares against the SAME batch oracle — that IS
+    # the stream ≡ batch claim
+    "sessionize_stream": _SQL_SESSIONIZE,
     "gopher_quality": _gopher_sql(),
 }
