@@ -32,10 +32,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
-    from search_engine_skillbox_spark.functions import textstats as TS
-    from search_engine_skillbox_spark.operators import dedup as D
     from search_engine_skillbox_spark.operators import pipeline as P
 
     spark = SparkSession.builder.appName("pipeline_bench").getOrCreate()
@@ -70,59 +67,23 @@ def main() -> None:
      .write.mode("overwrite").parquet(path("raw")))
     gen_sec = round(time.time() - t0, 1)
 
-    stages: list[dict] = []
-    cur = "raw"
-    n_cur = spark.read.parquet(path(cur)).count()
-
-    def stage(name: str, fn) -> None:
-        nonlocal cur, n_cur
-        t0 = time.time()
-        out = fn(spark.read.parquet(path(cur)))
-        out.write.mode("overwrite").parquet(path(name))
-        sec = time.time() - t0
-        n_out = spark.read.parquet(path(name)).count()
-        stages.append({"stage": name, "sec": round(sec, 1),
-                       "rows_in": n_cur, "rows_out": n_out,
-                       "docs_per_sec": round(n_cur / sec, 1)})
-        cur, n_cur = name, n_out
-
-    # vocabulary-neutral Gopher signals only: the synthetic corpus has
-    # no real en/ru stopwords, so the stopword-presence cue (and the
-    # composite gopher_pass) would zero it — the bench measures the
-    # same projection + the structural thresholds
-    stage("gopher_filter", lambda df: df.select(
-        "doc_id", "text", "lang",
-        *TS.gopher_quality(F.col("text")))
-        .filter((F.col("n_words") >= TS.GOPHER_MIN_WORDS)
-                & (F.col("n_words") <= TS.GOPHER_MAX_WORDS)
-                & (F.col("mean_word_len") >= TS.GOPHER_MIN_MEAN_WL)
-                & (F.col("mean_word_len") <= TS.GOPHER_MAX_MEAN_WL)
-                & (F.col("symbol_ratio") <= TS.GOPHER_MAX_SYMBOL_RATIO)
-                & (F.col("alpha_word_frac")
-                   >= TS.GOPHER_MIN_ALPHA_WORD_FRAC))
-        .select("doc_id", "text", "lang"))
-
-    stage("exact_dedup", lambda df: D.dedup_keep_first(df))
-
-    def near_dedup(df):
-        pairs = D.minhash_lsh_pairs(df, m=16, bands=4, k=3,
-                                    threshold=0.8, max_bucket=1000)
-        losers = pairs.select(F.col("doc2").alias("doc_id")).distinct()
-        return df.join(F.broadcast(losers), "doc_id", "left_anti")
-    stage("minhash_neardedup", near_dedup)
-
-    def decontam(df):
-        bench = (df.filter(F.col("doc_id") % 997 == 0)
-                 .select(F.col("doc_id").alias("bench_id"), "text"))
-        hits = P.decontaminate(df, bench, n=8).filter(
-            "contamination >= 0.8").select("doc_id")
-        return df.join(F.broadcast(hits), "doc_id", "left_anti")
-    stage("decontaminate", decontam)
-
-    stage("sample_50pct", lambda df: P.sample_by_hash(df, 0.5))
-
-    stage("pii_redact", lambda df: P.pii_redact(df).withColumnRenamed(
-        "clean_text", "text"))
+    # the chain runs through the RESUMABLE operator (clean_corpus:
+    # per-stage lineage rows, crash-restart skips committed stages) so
+    # the bench measures exactly what a production corpus build runs.
+    # gopher_structural_only: the synthetic corpus has no real en/ru
+    # stopwords, so the stopword-presence cue would zero the composite.
+    res = P.clean_corpus(
+        spark, path("raw"), path("work"),
+        stages=P.default_clean_stages(gopher_structural_only=True))
+    n_in = args.docs
+    stages = []
+    for s in res["stages"]:
+        stages.append({"stage": s["stage"], "sec": round(s["sec"], 1),
+                       "rows_in": n_in, "rows_out": s["rows_out"],
+                       "docs_per_sec": round(n_in / s["sec"], 1)
+                       if s["sec"] else None})
+        n_in = s["rows_out"]
+    n_cur = n_in
 
     total = round(sum(s["sec"] for s in stages), 1)
     print(json.dumps({

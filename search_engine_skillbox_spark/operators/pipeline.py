@@ -21,6 +21,8 @@ scale-safe formulation:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -198,3 +200,173 @@ def pii_redact(docs: DataFrame, doc_col: str = "doc_id",
         clean.alias("clean_text"),
         n_emails.cast("long").alias("n_emails"),
         n_phones.cast("long").alias("n_phones"))
+
+
+# ---------------------------------------------------------------------------
+# the cleaning chain as a first-class resumable operator
+# ---------------------------------------------------------------------------
+
+def default_clean_stages(*, gopher_structural_only: bool = False,
+                         minhash: dict | None = None,
+                         bench: DataFrame | None = None,
+                         bench_modulus: int = 997,
+                         contamination_threshold: float = 0.8,
+                         sample_rate: float = 0.5,
+                         strata: dict[str, float] | None = None):
+    """The standard corpus-cleaning chain as (name, fn) pairs for
+    clean_corpus: gopher quality filter → exact dedup → minhash-LSH
+    near-dedup → benchmark decontamination → deterministic sample →
+    PII redaction. Every stage is the already-gate-checked operator —
+    this factory only wires parameters.
+
+    gopher_structural_only drops the stopword-presence cue (synthetic
+    corpora with no real en/ru stopwords would zero the composite).
+    bench: held-out eval set (id, text); defaults to the
+    doc_id % bench_modulus == 0 slice of the stage input — a
+    self-contained stand-in when no external suite is supplied."""
+    from ..functions import textstats as TS
+    from .dedup import dedup_keep_first, minhash_lsh_pairs
+    mh = {"m": 16, "bands": 4, "k": 3, "threshold": 0.8,
+          "max_bucket": 1000, **(minhash or {})}
+
+    def gopher(df: DataFrame) -> DataFrame:
+        cond = ((F.col("n_words") >= TS.GOPHER_MIN_WORDS)
+                & (F.col("n_words") <= TS.GOPHER_MAX_WORDS)
+                & (F.col("mean_word_len") >= TS.GOPHER_MIN_MEAN_WL)
+                & (F.col("mean_word_len") <= TS.GOPHER_MAX_MEAN_WL)
+                & (F.col("symbol_ratio") <= TS.GOPHER_MAX_SYMBOL_RATIO)
+                & (F.col("alpha_word_frac")
+                   >= TS.GOPHER_MIN_ALPHA_WORD_FRAC))
+        if not gopher_structural_only:
+            cond = cond & (F.col("stopword_hits")
+                           >= TS.GOPHER_MIN_STOPWORD_HITS)
+        cols = df.columns
+        return (df.select(*cols, *TS.gopher_quality(F.col("text")))
+                .filter(cond).select(*cols))
+
+    def near_dedup(df: DataFrame) -> DataFrame:
+        pairs = minhash_lsh_pairs(df, **mh)
+        losers = pairs.select(F.col("doc2").alias("doc_id")).distinct()
+        return df.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    def decontam(df: DataFrame) -> DataFrame:
+        b = bench if bench is not None else (
+            df.filter(F.col("doc_id") % bench_modulus == 0)
+            .select(F.col("doc_id").alias("bench_id"), "text"))
+        hits = (decontaminate(df, b)
+                .filter(F.col("contamination")
+                        >= contamination_threshold)
+                .select("doc_id"))
+        return df.join(F.broadcast(hits), "doc_id", "left_anti")
+
+    def sample(df: DataFrame) -> DataFrame:
+        return sample_by_hash(df, sample_rate, strata=strata)
+
+    def redact(df: DataFrame) -> DataFrame:
+        out = pii_redact(df)
+        other = [c for c in df.columns if c not in ("doc_id", "text")]
+        return (df.select("doc_id", *other)
+                .join(out.withColumnRenamed("clean_text", "text"),
+                      "doc_id"))
+
+    return [("gopher_filter", gopher),
+            ("exact_dedup", dedup_keep_first),
+            ("minhash_neardedup", near_dedup),
+            ("decontaminate", decontam),
+            (f"sample_{int(sample_rate * 100)}pct", sample),
+            ("pii_redact", redact)]
+
+
+def _dir_fingerprint(path: str) -> str:
+    """Cheap input identity: md5 over the sorted (relpath, size, mtime)
+    listing of the parquet files under `path`. Changing the input data
+    changes the fingerprint, which changes the default build_id — a
+    resume against swapped input re-runs everything instead of silently
+    serving stale DONE stages."""
+    import hashlib
+
+    from .index_store import walk_parquet_files
+    h = hashlib.md5()
+    for p in walk_parquet_files(path):
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, path)}|{st.st_size}|"
+                 f"{int(st.st_mtime)}\n".encode())
+    return h.hexdigest()[:12]
+
+
+def _parquet_stats(path: str) -> tuple[int, int]:
+    """(rows, bytes) of a committed parquet directory — driver-side
+    footer reads, no Spark job."""
+    import pyarrow.parquet as pq
+
+    from .index_store import walk_parquet_files
+    rows = nbytes = 0
+    for p in walk_parquet_files(path):
+        rows += pq.ParquetFile(p).metadata.num_rows
+        nbytes += os.path.getsize(p)
+    return rows, nbytes
+
+
+def clean_corpus(spark, input_path: str, workdir: str,
+                 stages=None, build_id: str | None = None) -> dict:
+    """Run the cleaning chain with per-stage LINEAGE and crash-resume —
+    the same contract the index build has (plans/checkpoint.py): at
+    100 TB a six-stage chain is hours of work, and stage 5 dying must
+    not re-pay stages 1-4.
+
+    Each stage reads the previous stage's parquet and writes
+    workdir/<NN_name>/ (mode=overwrite — idempotent); its lineage row
+    (build_id, stage) goes RUNNING → DONE(rows, bytes) only AFTER the
+    write commits, so a crash between write and DONE re-runs exactly
+    that stage. A restart skips stages whose row is DONE and whose
+    _SUCCESS marker exists. build_id defaults to a fingerprint of the
+    input listing + stage names: swapping the input (or the chain)
+    invalidates old DONE rows instead of serving stale outputs; pass
+    build_id explicitly to resume across an input whose mtimes were
+    rewritten in place.
+
+    Returns {"build_id", "final_path", "stages": [{stage, path, sec,
+    skipped, rows_out, bytes_out}]}. Failures append a FAILED lineage
+    row (visible in Lineage.summary() as the reference's
+    FAILED/lastError status) and re-raise."""
+    import hashlib
+    import time as _time
+
+    from ..plans.checkpoint import Lineage
+    if stages is None:
+        stages = default_clean_stages()
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+    if build_id is None:
+        sig = hashlib.md5(("|".join(names)).encode()).hexdigest()[:8]
+        build_id = f"clean-{_dir_fingerprint(input_path)}-{sig}"
+    os.makedirs(workdir, exist_ok=True)
+    lin = Lineage(os.path.join(workdir, "lineage.jsonl"))
+    done = lin.done_partitions(build_id)
+
+    results = []
+    cur = input_path
+    for i, (name, fn) in enumerate(stages):
+        out = os.path.join(workdir, f"{i:02d}_{name}")
+        if name in done and os.path.exists(os.path.join(out, "_SUCCESS")):
+            rows, nbytes = _parquet_stats(out)
+            results.append({"stage": name, "path": out, "sec": 0.0,
+                            "skipped": True, "rows_out": rows,
+                            "bytes_out": nbytes})
+            cur = out
+            continue
+        t0 = lin.start(build_id, name)
+        try:
+            fn(spark.read.parquet(cur)).write.mode("overwrite").parquet(out)
+            rows, nbytes = _parquet_stats(out)
+            lin.done(build_id, name, t0, rows, nbytes)
+        except Exception as e:
+            lin.failed(build_id, name, t0, repr(e))
+            raise
+        results.append({"stage": name, "path": out,
+                        "sec": round(_time.time() - t0, 3),
+                        "skipped": False, "rows_out": rows,
+                        "bytes_out": nbytes})
+        cur = out
+    return {"build_id": build_id, "final_path": cur, "stages": results}

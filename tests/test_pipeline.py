@@ -147,3 +147,96 @@ def test_gopher_quality_edges(spark):
     assert out[3]["n_words"] >= 50 and out[3]["stopword_hits"] >= 2
     assert out[3]["gopher_pass"] is True
     assert out[4]["symbol_ratio"] > 0.1 and out[4]["gopher_pass"] is False
+
+
+def _clean_input(spark, tmp_path, n=300, seed=42):
+    """documents-shaped corpus with planted exact duplicates (every
+    100th doc repeats its neighbor 7 back), written to parquet."""
+    from search_engine_skillbox_spark.sources.corpus import doc_tokens
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            texts = []
+            for d in ids:
+                src = d - 7 if (d % 100 == 7 and d >= 7) else d
+                texts.append(" ".join(doc_tokens(seed, int(src))))
+            yield pd.DataFrame({
+                "doc_id": ids, "text": texts,
+                "lang": [["ru", "en", "mixed"][d % 3] for d in ids]})
+
+    path = str(tmp_path / "raw")
+    (spark.range(n).repartition(4)
+     .mapInPandas(gen, "doc_id long, text string, lang string")
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
+def test_clean_corpus_resume(spark, tmp_path):
+    """Kill the chain mid-stage-4 → restart skips the committed stages
+    (their outputs untouched on disk, one RUNNING row each) and
+    completes with a result identical to an uninterrupted run — the
+    index build's resume contract (test_index_store::test_resume) for
+    the cleaning pipeline."""
+    import os
+
+    from search_engine_skillbox_spark.operators.pipeline import (
+        clean_corpus, default_clean_stages)
+    from search_engine_skillbox_spark.plans.checkpoint import Lineage
+    raw = _clean_input(spark, tmp_path)
+    stages = default_clean_stages(gopher_structural_only=True)
+    marker = tmp_path / "stage4_ok"
+    name3, fn3 = stages[3]  # decontaminate
+
+    def flaky(df):
+        if not marker.exists():
+            raise RuntimeError("synthetic failure")
+        return fn3(df)
+    stages[3] = (name3, flaky)
+
+    work = str(tmp_path / "work")
+    with pytest.raises(RuntimeError, match="synthetic failure"):
+        clean_corpus(spark, raw, work, stages=stages)
+    lin = Lineage(os.path.join(work, "lineage.jsonl"))
+    summ = lin.summary()
+    assert summ["status"] == "FAILED"
+    assert "synthetic failure" in summ["last_error"]
+    rows = lin.load()
+    build_id = rows[0]["build_id"]
+    done = lin.done_partitions(build_id)
+    assert {"gopher_filter", "exact_dedup", "minhash_neardedup"} == done
+    # snapshot the committed stage outputs' file mtimes
+    def listing(i, name):
+        d = os.path.join(work, f"{i:02d}_{name}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if not f.startswith((".", "_"))}
+    before = [listing(i, n) for i, (n, _) in enumerate(stages[:3])]
+
+    marker.touch()
+    res = clean_corpus(spark, raw, work, stages=stages)
+    assert [s["skipped"] for s in res["stages"]] == \
+        [True, True, True, False, False, False]
+    assert res["build_id"] == build_id  # same input+chain → same id
+    after = [listing(i, n) for i, (n, _) in enumerate(stages[:3])]
+    assert before == after  # skipped stages were NOT rewritten
+    # each committed stage ran exactly once across both invocations
+    for stage in done:
+        runs = [r for r in lin.load()
+                if r["partition_id"] == stage and r["status"] == "RUNNING"]
+        assert len(runs) == 1, stage
+    # identical result to an uninterrupted run in a fresh workdir
+    clean = clean_corpus(spark, raw, str(tmp_path / "work2"),
+                         stages=default_clean_stages(
+                             gopher_structural_only=True))
+    got = sorted((r["doc_id"], r["text"]) for r in
+                 spark.read.parquet(res["final_path"]).collect())
+    want = sorted((r["doc_id"], r["text"]) for r in
+                  spark.read.parquet(clean["final_path"]).collect())
+    assert got == want and len(got) > 0
+    # swapping the input invalidates the default build_id
+    from search_engine_skillbox_spark.operators.pipeline import (
+        _dir_fingerprint)
+    fp = _dir_fingerprint(raw)
+    _clean_input(spark, tmp_path, n=301)
+    assert _dir_fingerprint(raw) != fp
