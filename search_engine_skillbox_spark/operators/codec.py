@@ -204,6 +204,49 @@ def decode_blocks_batch(docs_bufs: list, tfs_bufs: list,
     return doc_ids, tfs_all, dls_all
 
 
+# chunked-threaded decode: numpy RELEASES the GIL inside the large
+# element-wise loops that dominate decode_blocks_batch, so plain
+# threads scale it nearly linearly (measured on the 4M-posting seko
+# list, min-of-5 reps: 1 thread 0.76 s, 2 → 0.36, 4 → 0.21, 8 →
+# 0.12 — this box's rep-to-rep variance for the same kernel is ~2×,
+# hence min-of-reps). Blocks are independent (each buffer's first
+# value is absolute via zigzag), so chunking at block granularity and
+# concatenating preserves exact output order.
+DECODE_KERNEL_THREADS = 8
+# don't spin up threads for small decodes: the pool + concat overhead
+# (~1 ms) only pays off when the stream is hundreds of thousands of
+# postings
+DECODE_THREAD_MIN_POSTINGS = 200_000
+
+
+def decode_blocks_batch_threaded(docs_bufs: list, tfs_bufs: list,
+                                 dls_bufs: list | None, ns,
+                                 threads: int = DECODE_KERNEL_THREADS):
+    """decode_blocks_batch sharded across `threads` block-chunks —
+    bit-identical output (pinned in tests/test_codec_property.py),
+    ~6× faster on stopword-scale lists. Falls through to the
+    sequential kernel below DECODE_THREAD_MIN_POSTINGS."""
+    ns = np.asarray(ns, np.int64)
+    nb = ns.size
+    if threads <= 1 or nb < 2 * threads \
+            or int(ns.sum()) < DECODE_THREAD_MIN_POSTINGS:
+        return decode_blocks_batch(docs_bufs, tfs_bufs, dls_bufs, ns)
+    from concurrent.futures import ThreadPoolExecutor
+    size = -(-nb // threads)
+
+    def _chunk(c):
+        return decode_blocks_batch(
+            docs_bufs[c:c + size], tfs_bufs[c:c + size],
+            dls_bufs[c:c + size] if dls_bufs is not None else None,
+            ns[c:c + size])
+    with ThreadPoolExecutor(threads) as pool:
+        outs = list(pool.map(_chunk, range(0, nb, size)))
+    return (np.concatenate([o[0] for o in outs]),
+            np.concatenate([o[1] for o in outs]),
+            (np.concatenate([o[2] for o in outs])
+             if dls_bufs is not None else None))
+
+
 def decode_block(docs_bytes: bytes, tfs_bytes: bytes,
                  dls_bytes: bytes | None = None):
     """→ (doc_ids int64 sorted, tfs int64) or, with dls_bytes,

@@ -44,7 +44,7 @@ from contextlib import contextmanager
 import numpy as np
 
 from . import score as S
-from .codec import decode_blocks_batch
+from .codec import decode_blocks_batch_threaded
 from .index_store import IndexStore
 
 # Hard read bounds for the serving path (per query). Exceeding any of
@@ -80,6 +80,9 @@ SITE_DECODE_CAP = 8_000_000
 # threads overlapping row-group reads in a full-list decode (pyarrow
 # drops the GIL for IO/decompression; varint decode stays sequential)
 DECODE_READ_THREADS = 4
+# don't open an ad-hoc shard handle for fewer row groups than this —
+# a footer re-parse must be amortized over real read work
+MIN_SPANS_PER_SHARD = 2
 
 META_COLS = ["term", "salt", "tier", "gen", "n", "max_tf",
              "first_doc", "last_doc", "max_imp"]
@@ -223,6 +226,9 @@ def _dir_files(store: IndexStore, relpath: str):
                     # pyarrow handle's reader state is NOT safe under
                     # concurrent reads (distinct handles are)
                     pf._sx_lock = threading.Lock()
+                    # lets _decode_selected open EXTRA ad-hoc handles on
+                    # the same file to shard a big intra-file decode
+                    pf._sx_path = fp
                     files.append(pf)
             cache[relpath] = files
         ent = getattr(store, "_serve_borrows", {}).get(
@@ -392,40 +398,71 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]],
                 spans.append((fi, rg, tm["row"][rows_sel[i:j]]))
                 i = j
 
-            # parallelize ACROSS FILES only: concurrent read_row_group
-            # calls on one ParquetFile handle are not thread-safe
-            # (shared reader state); distinct handles are independent.
-            # spans are fi-major after the lexsort, so grouping by fi
-            # keeps buffer order. pyarrow drops the GIL for the IO +
-            # decompression inside each group.
+            # one memoized ParquetFile handle is not thread-safe, so
+            # same-handle reads serialize (_read_rg lock); distinct
+            # handles on the same file ARE independent readers. Group
+            # spans by file, and when the files alone can't saturate
+            # the pool (the large-site shape: ONE bucket file, many row
+            # groups — round-5 profile had its whole 1.87 s t_decode on
+            # a single thread), shard big groups across EXTRA ad-hoc
+            # handles: a footer re-parse (~ms) buys parallel IO +
+            # decompression (pyarrow drops the GIL inside each read).
+            # spans are fi-major after the lexsort, so unit order keeps
+            # buffer order.
             groups: list[list] = []
             for s in spans:
                 if groups and groups[-1][0][0] == s[0]:
                     groups[-1].append(s)
                 else:
                     groups.append([s])
+            units: list[tuple] = []  # (fi | path-str, span chunk)
+            for grp in groups:
+                fi = grp[0][0]
+                path = getattr(files[fi], "_sx_path", None)
+                shards = min(DECODE_READ_THREADS,
+                             len(grp) // MIN_SPANS_PER_SHARD)
+                if (len(groups) < DECODE_READ_THREADS and shards > 1
+                        and path is not None):
+                    size = -(-len(grp) // shards)
+                    for ci in range(0, len(grp), size):
+                        units.append((path, grp[ci:ci + size]))
+                else:
+                    units.append((fi, grp))
 
-            def _read_group(grp):
-                return [_read_rg(files[fi], rg, cols).take(take)
-                        for fi, rg, take in grp]
-            if len(groups) > 2:
+            def _read_unit(unit):
+                src, chunk = unit
+                if isinstance(src, str):  # ad-hoc shard handle: no
+                    # lock needed, this thread owns it exclusively
+                    import pyarrow.parquet as pq
+                    pf = pq.ParquetFile(src)
+                    try:
+                        return [pf.read_row_group(rg, columns=cols)
+                                .take(take) for _, rg, take in chunk]
+                    finally:
+                        pf.close()
+                return [_read_rg(files[src], rg, cols).take(take)
+                        for _, rg, take in chunk]
+            if len(units) > 2:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(DECODE_READ_THREADS) as pool:
-                    tbl_groups = list(pool.map(_read_group, groups))
+                    tbl_groups = list(pool.map(_read_unit, units))
             else:
-                tbl_groups = [_read_group(g) for g in groups]
+                tbl_groups = [_read_unit(u) for u in units]
             for btbl in (t for grp in tbl_groups for t in grp):
                 docs_bufs.extend(btbl.column("docs").to_pylist())
                 tfs_bufs.extend(btbl.column("tfs").to_pylist())
                 if need_dls:
                     dls_bufs.extend(btbl.column("dls").to_pylist())
         if docs_bufs:
-            # one vectorized pass over the joined streams — per-block
+            # vectorized passes over the joined streams — per-block
             # decode_block calls are call-overhead-bound at full-list
             # scale (a stopword is tens of thousands of ~128-posting
             # blocks); rows_sel is already in buffer order after the
-            # lexsort, so metadata `n` aligns with the buffers
-            results.append(decode_blocks_batch(
+            # lexsort, so metadata `n` aligns with the buffers. The
+            # threaded wrapper shards big streams across block chunks
+            # (numpy releases the GIL in the kernel — measured ~6× on
+            # the round-5 large-site profile's 1.9 s varint phase)
+            results.append(decode_blocks_batch_threaded(
                 docs_bufs, tfs_bufs, dls_bufs if need_dls else None,
                 tm["n"][rows_sel]))
         else:
@@ -461,16 +498,34 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
     return [(int(ids[i]), float(scores[i])) for i in order]
 
 
+# thread the membership test past this many probe values: searchsorted
+# releases the GIL, and the binary searches are cache-miss-bound, so
+# value-chunked threads scale near-linearly (microbenched 4M probes vs
+# a 1M-id host slice: 1 thread 1.7 s, 4 → 0.41, 8 → 0.21, min-of-5)
+MEMBER_THREAD_MIN = 500_000
+
+
 def _sorted_membership(sorted_small: np.ndarray, values: np.ndarray):
     """Boolean mask: values ∈ sorted_small. O(n log m) searchsorted
     against the already-sorted host slice instead of np.isin, which
     re-sorts the (much larger) decoded posting array on every call —
-    shaves ~0.5 s off a stopword-scale large-site decode."""
+    shaves ~0.5 s off a stopword-scale large-site decode. Big probe
+    arrays are sharded across threads (chunk order preserved, so the
+    concatenated mask is bit-identical)."""
     if sorted_small.size == 0:
         return np.zeros(values.size, dtype=bool)
-    pos = np.searchsorted(sorted_small, values)
-    pos[pos == sorted_small.size] = 0  # clamp overflow; compare fails
-    return sorted_small[pos] == values
+
+    def _chunk(vals):
+        pos = np.searchsorted(sorted_small, vals)
+        pos[pos == sorted_small.size] = 0  # clamp overflow; compare fails
+        return sorted_small[pos] == vals
+    if values.size < MEMBER_THREAD_MIN:
+        return _chunk(values)
+    from concurrent.futures import ThreadPoolExecutor
+    from .codec import DECODE_KERNEL_THREADS
+    chunks = np.array_split(values, DECODE_KERNEL_THREADS)
+    with ThreadPoolExecutor(DECODE_KERNEL_THREADS) as pool:
+        return np.concatenate(list(pool.map(_chunk, chunks)))
 
 
 def _host_doc_ids(store: IndexStore, host: str):

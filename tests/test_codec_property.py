@@ -75,3 +75,43 @@ def test_batch_decode_equals_per_block(ids, data):
             None, [b["n"] for b in bs])
         assert nd_l is None
         assert (nd_d == got_d).all() and (nd_t == got_t).all()
+
+
+@given(st.lists(i64, min_size=1, max_size=800, unique=True),
+       st.data())
+@settings(max_examples=40)
+def test_threaded_batch_decode_equals_sequential(ids, data):
+    """decode_blocks_batch_threaded (block-chunked thread-pool shards)
+    must be bit-identical to the sequential kernel for any thread
+    count and chunk boundary, with and without the dl stream. The
+    threshold is forced to 0 so tiny hypothesis cases still exercise
+    the threaded path."""
+    import search_engine_skillbox_spark.operators.codec as codec
+    from search_engine_skillbox_spark.operators.codec import (
+        decode_blocks_batch, decode_blocks_batch_threaded)
+    doc_ids = np.sort(np.array(ids, np.int64))
+    n = doc_ids.size
+    tf = np.array(data.draw(st.lists(st.integers(1, 10 ** 6),
+                                     min_size=n, max_size=n)), np.int64)
+    dl = np.array(data.draw(st.lists(st.integers(1, 10 ** 5),
+                                     min_size=n, max_size=n)), np.int64)
+    bs = list(encode_postings(doc_ids, tf, dls=dl, avgdl=100.0))
+    docs_b = [b["docs"] for b in bs]
+    tfs_b = [b["tfs"] for b in bs]
+    dls_b = [b["dls"] for b in bs]
+    ns = [b["n"] for b in bs]
+    want = decode_blocks_batch(docs_b, tfs_b, dls_b, ns)
+    old = codec.DECODE_THREAD_MIN_POSTINGS
+    codec.DECODE_THREAD_MIN_POSTINGS = 0
+    try:
+        for threads in (1, 2, 3, 8):
+            got = decode_blocks_batch_threaded(docs_b, tfs_b, dls_b, ns,
+                                               threads=threads)
+            assert (got[0] == want[0]).all()
+            assert (got[1] == want[1]).all()
+            assert (got[2] == want[2]).all()
+            nd = decode_blocks_batch_threaded(docs_b, tfs_b, None, ns,
+                                              threads=threads)
+            assert nd[2] is None and (nd[0] == want[0]).all()
+    finally:
+        codec.DECODE_THREAD_MIN_POSTINGS = old
