@@ -370,3 +370,42 @@ def clean_corpus(spark, input_path: str, workdir: str,
                         "bytes_out": nbytes})
         cur = out
     return {"build_id": build_id, "final_path": cur, "stages": results}
+
+
+def clean_corpus_fused(spark, input_path: str, out_path: str,
+                       stages=None, storage_level: str = "MEMORY_AND_DISK"):
+    """The same cleaning chain WITHOUT per-stage parquet barriers:
+    stage results are persist()ed — cache boundaries replace the six
+    write→commit→read→count barriers — and only the FINAL result is
+    written. The persists are load-bearing, not an optimization knob:
+    three stages reference their input twice (minhash/decontaminate
+    anti-joins, the self-derived benchmark slice), and an unpersisted
+    lazy chain would recompute the whole upstream pipeline once per
+    reference — exponential across the chain.
+
+    Trade-off vs clean_corpus, stated plainly: NO mid-chain resume (a
+    crash re-runs the whole chain — one lineage unit, not six) and the
+    working set must fit the cluster's cache tier (MEMORY_AND_DISK
+    spills, so "fit" means local disk at worst). Use clean_corpus for
+    the 100 TB production shape; use this for low-latency interactive
+    runs — and as the A/B that QUANTIFIES the barrier cost: the staged
+    chain's scaling ceiling was attributed to per-stage serial/driver
+    work (BENCH/pipeline_scaling_diag.json), and this variant is the
+    experiment that tests that attribution by deleting the barriers.
+
+    Result equivalence with the staged chain is pytest-pinned
+    (test_pipeline::test_fused_equals_staged)."""
+    from pyspark import StorageLevel
+    if stages is None:
+        stages = default_clean_stages()
+    lvl = getattr(StorageLevel, storage_level)
+    cached = []
+    cur = spark.read.parquet(input_path)
+    for _name, fn in stages:
+        cur = fn(cur).persist(lvl)
+        cached.append(cur)
+    cur.write.mode("overwrite").parquet(out_path)
+    rows, nbytes = _parquet_stats(out_path)
+    for df in cached:
+        df.unpersist()
+    return {"final_path": out_path, "rows_out": rows, "bytes_out": nbytes}

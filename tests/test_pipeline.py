@@ -240,3 +240,23 @@ def test_clean_corpus_resume(spark, tmp_path):
     fp = _dir_fingerprint(raw)
     _clean_input(spark, tmp_path, n=301)
     assert _dir_fingerprint(raw) != fp
+
+
+def test_fused_equals_staged(spark, tmp_path):
+    """clean_corpus_fused (cache boundaries, final write only) must
+    produce exactly the staged chain's final table."""
+    from search_engine_skillbox_spark.operators.pipeline import (
+        clean_corpus, clean_corpus_fused, default_clean_stages)
+    raw = _clean_input(spark, tmp_path, n=250)
+    staged = clean_corpus(spark, raw, str(tmp_path / "staged"),
+                          stages=default_clean_stages(
+                              gopher_structural_only=True))
+    fused = clean_corpus_fused(spark, raw, str(tmp_path / "fused"),
+                               stages=default_clean_stages(
+                                   gopher_structural_only=True))
+    got = sorted((r["doc_id"], r["text"]) for r in
+                 spark.read.parquet(fused["final_path"]).collect())
+    want = sorted((r["doc_id"], r["text"]) for r in
+                  spark.read.parquet(staged["final_path"]).collect())
+    assert got == want and len(got) > 0
+    assert fused["rows_out"] == len(want)
