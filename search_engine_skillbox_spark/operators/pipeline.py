@@ -38,22 +38,30 @@ DECONTAM_NGRAM = 8
 def decontaminate(docs: DataFrame, bench: DataFrame,
                   n: int = DECONTAM_NGRAM,
                   doc_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  broadcast_bench: bool = True) -> DataFrame:
     """(doc_id, n_hits, n_ngrams, contamination) for every corpus doc
     sharing at least one n-token n-gram with the benchmark set.
 
-    bench: (any id col, text) — held-out eval prompts/answers. The
-    benchmark's distinct n-grams are BROADCAST (suites are tiny vs the
-    corpus), so the plan is: corpus explode → map-side broadcast LEFT
-    join → one groupBy(doc_id) computing hits and sizes together →
-    filter(n_hits > 0). The corpus text never shuffles. Every doc's
-    n-grams DO flow through the aggregation (zero-overlap docs are
-    filtered after it, not before) — that is deliberate: map-side
-    partial aggregation makes the pass cheap, and the alternative
-    (inner join for hits + a second aggregation for sizes over
-    semi-joined docs only) measured 7 exchanges vs 3. If a benchmark
-    set ever grows past broadcast size, switch to that inner-join +
-    semi-joined-sizes plan and shuffle the n-grams.
+    bench: (any id col, text) — held-out eval prompts/answers.
+
+    broadcast_bench=True (default — suites are tiny vs the corpus):
+    the benchmark's distinct n-grams are BROADCAST, so the plan is:
+    corpus explode → map-side broadcast LEFT join → one groupBy(doc_id)
+    computing hits and sizes together → filter(n_hits > 0). The corpus
+    text never shuffles. Every doc's n-grams DO flow through the
+    aggregation (zero-overlap docs are filtered after it, not before)
+    — that is deliberate: map-side partial aggregation makes the pass
+    cheap, and splitting hits/sizes measured 7 exchanges vs 3.
+
+    broadcast_bench=False — the scale path for benchmark sets past
+    broadcast size (e.g. decontaminating against a whole other
+    CORPUS): inner SHUFFLE join on the n-grams finds the hits, and
+    the per-doc size aggregation runs only over semi-joined
+    (contaminated) docs, so the second corpus pass touches the ~0.1%
+    of docs with any overlap instead of everything. Equality with the
+    broadcast plan is pytest-pinned.
+
     contamination = fraction of the doc's distinct n-grams that appear
     in the benchmark (1.0 ⟺ the doc is a sub/superset of bench text at
     n-gram granularity)."""
@@ -61,6 +69,18 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
                     .select("shingle").distinct()
                     .withColumn("_hit", F.lit(1)))
     doc_ngrams = shingles(docs, n, doc_col, text_col)
+    if not broadcast_bench:
+        hits = (doc_ngrams.join(bench_ngrams.select("shingle"), "shingle")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_hits")))
+        sizes = (doc_ngrams.join(hits.select("doc_id"), "doc_id",
+                                 "left_semi")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_ngrams")))
+        return (hits.join(sizes, "doc_id")
+                .select("doc_id", "n_hits", "n_ngrams",
+                        (F.col("n_hits") / F.col("n_ngrams"))
+                        .alias("contamination")))
     # LEFT broadcast join + ONE groupBy computes both counts in a
     # single aggregation pass (a separate sizes/hits pair costs two
     # aggregations plus a doc_id join — 7 exchanges vs 3 measured)

@@ -260,3 +260,29 @@ def test_fused_equals_staged(spark, tmp_path):
                   spark.read.parquet(staged["final_path"]).collect())
     assert got == want and len(got) > 0
     assert fused["rows_out"] == len(want)
+
+
+def test_decontaminate_shuffle_path_equals_broadcast(spark, tmp_path):
+    """broadcast_bench=False (the corpus-scale-benchmark plan: inner
+    n-gram shuffle join + size aggregation over semi-joined docs only)
+    must produce exactly the broadcast plan's rows, and must carry no
+    explicit broadcast HINT on the benchmark side (AQE may still
+    broadcast a small side at runtime — that is its call, not a forced
+    plan; a genuinely huge bench side then shuffle-joins)."""
+    from search_engine_skillbox_spark.operators.pipeline import (
+        decontaminate)
+    raw = _clean_input(spark, tmp_path, n=200)
+    docs = spark.read.parquet(raw)
+    bench = (docs.filter(F.col("doc_id") % 11 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+
+    def rows(df):
+        return sorted((r["doc_id"], r["n_hits"], r["n_ngrams"],
+                       round(r["contamination"], 9))
+                      for r in df.collect())
+    want = rows(decontaminate(docs, bench))
+    shuffled = decontaminate(docs, bench, broadcast_bench=False)
+    assert rows(shuffled) == want and len(want) > 0
+    analyzed = shuffled._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed
+    assert "ResolvedHint" not in analyzed  # no forced broadcast
