@@ -54,7 +54,11 @@ def main() -> None:
         stages=P.default_clean_stages(
             gopher_structural_only=args.structural_gopher,
             bench=bench, sample_rate=args.sample_rate),
-        build_id=args.build_id)
+        build_id=args.build_id,
+        # the bench CONTENT is part of the resume identity: swapping
+        # eval suites must re-run decontamination, not serve stale
+        # DONE stages
+        extra_sig=(P._dir_fingerprint(args.bench) if args.bench else ""))
     print(json.dumps(res))
 
 

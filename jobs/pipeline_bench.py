@@ -77,7 +77,12 @@ def main() -> None:
     # --fused swaps in the cache-boundary variant (the barrier A/B).
     # gopher_structural_only: the synthetic corpus has no real en/ru
     # stopwords, so the stopword-presence cue would zero the composite.
-    chain_stages = P.default_clean_stages(gopher_structural_only=True)
+    # decontam_broadcast=True pins the plan the recorded BENCH/
+    # pipeline_scaling* artifacts measured (the auto default now picks
+    # the shuffle plan for a self-derived bench, which is the
+    # 100 TB-safe choice but a different dataflow)
+    chain_stages = P.default_clean_stages(gopher_structural_only=True,
+                                          decontam_broadcast=True)
     if args.fused:
         t0 = time.time()
         res = P.clean_corpus_fused(spark, path("raw"), path("work_out"),

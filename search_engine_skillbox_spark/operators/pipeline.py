@@ -226,13 +226,22 @@ def pii_redact(docs: DataFrame, doc_col: str = "doc_id",
 # the cleaning chain as a first-class resumable operator
 # ---------------------------------------------------------------------------
 
+class _StageList(list):
+    """A stage list carrying `params_sig` — the stable signature of the
+    parameters the stages were built with, folded into clean_corpus's
+    default build_id so a resume against CHANGED parameters re-runs
+    instead of silently serving stale DONE stages."""
+    params_sig: str = ""
+
+
 def default_clean_stages(*, gopher_structural_only: bool = False,
                          minhash: dict | None = None,
                          bench: DataFrame | None = None,
                          bench_modulus: int = 997,
                          contamination_threshold: float = 0.8,
                          sample_rate: float = 0.5,
-                         strata: dict[str, float] | None = None):
+                         strata: dict[str, float] | None = None,
+                         decontam_broadcast: bool | None = None):
     """The standard corpus-cleaning chain as (name, fn) pairs for
     clean_corpus: gopher quality filter → exact dedup → minhash-LSH
     near-dedup → benchmark decontamination → deterministic sample →
@@ -243,11 +252,25 @@ def default_clean_stages(*, gopher_structural_only: bool = False,
     corpora with no real en/ru stopwords would zero the composite).
     bench: held-out eval set (id, text); defaults to the
     doc_id % bench_modulus == 0 slice of the stage input — a
-    self-contained stand-in when no external suite is supplied."""
+    self-contained stand-in when no external suite is supplied.
+    decontam_broadcast: None (default) auto-selects — broadcast when an
+    EXTERNAL bench is supplied (eval suites are tiny), the shuffle plan
+    for the self-derived slice (a fixed FRACTION of the corpus can
+    never broadcast at scale: ~100 GB of n-grams at 100 TB would blow
+    the 8 GB broadcast ceiling). Pass True/False to force.
+
+    The returned list carries `params_sig` (all parameter values, plus
+    whether the bench is external); clean_corpus folds it into the
+    default build_id. An external bench's CONTENT is not fingerprinted
+    here — swapping one eval suite parquet for another at the same
+    param values needs an explicit build_id (jobs/clean_corpus.py
+    fingerprints the --bench directory for exactly this)."""
     from ..functions import textstats as TS
     from .dedup import dedup_keep_first, minhash_lsh_pairs
     mh = {"m": 16, "bands": 4, "k": 3, "threshold": 0.8,
           "max_bucket": 1000, **(minhash or {})}
+    if decontam_broadcast is None:
+        decontam_broadcast = bench is not None
 
     def gopher(df: DataFrame) -> DataFrame:
         cond = ((F.col("n_words") >= TS.GOPHER_MIN_WORDS)
@@ -273,7 +296,8 @@ def default_clean_stages(*, gopher_structural_only: bool = False,
         b = bench if bench is not None else (
             df.filter(F.col("doc_id") % bench_modulus == 0)
             .select(F.col("doc_id").alias("bench_id"), "text"))
-        hits = (decontaminate(df, b)
+        hits = (decontaminate(df, b,
+                              broadcast_bench=decontam_broadcast)
                 .filter(F.col("contamination")
                         >= contamination_threshold)
                 .select("doc_id"))
@@ -289,12 +313,18 @@ def default_clean_stages(*, gopher_structural_only: bool = False,
                 .join(out.withColumnRenamed("clean_text", "text"),
                       "doc_id"))
 
-    return [("gopher_filter", gopher),
-            ("exact_dedup", dedup_keep_first),
-            ("minhash_neardedup", near_dedup),
-            ("decontaminate", decontam),
-            (f"sample_{int(sample_rate * 100)}pct", sample),
-            ("pii_redact", redact)]
+    out = _StageList([("gopher_filter", gopher),
+                      ("exact_dedup", dedup_keep_first),
+                      ("minhash_neardedup", near_dedup),
+                      ("decontaminate", decontam),
+                      (f"sample_{int(sample_rate * 100)}pct", sample),
+                      ("pii_redact", redact)])
+    out.params_sig = repr((
+        "v1", bool(gopher_structural_only), sorted(mh.items()),
+        "external-bench" if bench is not None else f"self%{bench_modulus}",
+        float(contamination_threshold), float(sample_rate),
+        sorted((strata or {}).items()), bool(decontam_broadcast)))
+    return out
 
 
 def _dir_fingerprint(path: str) -> str:
@@ -328,7 +358,8 @@ def _parquet_stats(path: str) -> tuple[int, int]:
 
 
 def clean_corpus(spark, input_path: str, workdir: str,
-                 stages=None, build_id: str | None = None) -> dict:
+                 stages=None, build_id: str | None = None,
+                 extra_sig: str = "") -> dict:
     """Run the cleaning chain with per-stage LINEAGE and crash-resume —
     the same contract the index build has (plans/checkpoint.py): at
     100 TB a six-stage chain is hours of work, and stage 5 dying must
@@ -359,7 +390,14 @@ def clean_corpus(spark, input_path: str, workdir: str,
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")
     if build_id is None:
-        sig = hashlib.md5(("|".join(names)).encode()).hexdigest()[:8]
+        # stage names alone are not a safe resume identity: parameters
+        # (thresholds, minhash shape, bench selection) change results
+        # without changing names — fold in the factory's params_sig
+        # extra_sig: caller-supplied identity the factory can't see
+        # (e.g. the CLI folds in the --bench directory's fingerprint)
+        psig = getattr(stages, "params_sig", "") + "\x1f" + extra_sig
+        sig = hashlib.md5(("|".join(names) + "\x1f" + psig)
+                          .encode()).hexdigest()[:8]
         build_id = f"clean-{_dir_fingerprint(input_path)}-{sig}"
     os.makedirs(workdir, exist_ok=True)
     lin = Lineage(os.path.join(workdir, "lineage.jsonl"))

@@ -415,7 +415,7 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]],
                     groups[-1].append(s)
                 else:
                     groups.append([s])
-            units: list[tuple] = []  # (fi | path-str, span chunk)
+            units: list[tuple] = []  # (fi, span chunk, shard path|None)
             for grp in groups:
                 fi = grp[0][0]
                 path = getattr(files[fi], "_sx_path", None)
@@ -425,24 +425,45 @@ def _decode_selected(store: IndexStore, metas: list[tuple[dict, np.ndarray]],
                         and path is not None):
                     size = -(-len(grp) // shards)
                     for ci in range(0, len(grp), size):
-                        units.append((path, grp[ci:ci + size]))
+                        units.append((fi, grp[ci:ci + size], path))
                 else:
-                    units.append((fi, grp))
+                    units.append((fi, grp, None))
 
             def _read_unit(unit):
-                src, chunk = unit
-                if isinstance(src, str):  # ad-hoc shard handle: no
-                    # lock needed, this thread owns it exclusively
+                fi, chunk, path = unit
+                if path is not None:
+                    # ad-hoc shard handle: this thread owns it
+                    # exclusively, no lock needed — but a re-open BY
+                    # PATH can see a REPLACED file if a concurrent
+                    # mutation overwrote the bucket (the memoized
+                    # handle's open fd pins the original inode; a new
+                    # path-open does not). Guard: footer must match the
+                    # memoized snapshot, else read through the memoized
+                    # handle (serialized but fd-pinned-correct).
                     import pyarrow.parquet as pq
-                    pf = pq.ParquetFile(src)
                     try:
-                        return [pf.read_row_group(rg, columns=cols)
-                                .take(take) for _, rg, take in chunk]
-                    finally:
-                        pf.close()
-                return [_read_rg(files[src], rg, cols).take(take)
+                        pf = pq.ParquetFile(path)
+                    except Exception:  # replaced/unlinked mid-query
+                        pf = None
+                    if pf is not None:
+                        try:
+                            am, mm = pf.metadata, files[fi].metadata
+                            if (am.num_rows == mm.num_rows
+                                    and am.num_row_groups
+                                    == mm.num_row_groups
+                                    and am.serialized_size
+                                    == mm.serialized_size):
+                                return [pf.read_row_group(rg, columns=cols)
+                                        .take(take)
+                                        for _, rg, take in chunk]
+                        finally:
+                            try:
+                                pf.close()
+                            except Exception:
+                                pass
+                return [_read_rg(files[fi], rg, cols).take(take)
                         for _, rg, take in chunk]
-            if len(units) > 2:
+            if len(units) > 1:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(DECODE_READ_THREADS) as pool:
                     tbl_groups = list(pool.map(_read_unit, units))

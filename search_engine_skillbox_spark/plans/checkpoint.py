@@ -64,17 +64,24 @@ _LINEAGE_CACHE: dict[str, tuple[tuple, int, list, dict]] = {}
 
 
 def _new_idx() -> dict:
-    return {"done": {}, "note": {}, "last": {}}
+    return {"done": {}, "note": {}, "last": {}, "max_ts": 0.0}
 
 
 def _index_row(idx: dict, r: dict) -> None:
     key = (r["build_id"], r["partition_id"])
     status = r["status"]
+    # last-activity time covers EVERY row, including NOTE rows — a
+    # lineage whose newest rows are notes still reports when it was
+    # last touched (summary() status_time)
+    idx["max_ts"] = max(idx["max_ts"],
+                        r.get("finished_at") or r.get("started_at") or 0)
     if status == "DONE":
         idx["done"].setdefault(r["build_id"], set()).add(r["partition_id"])
     if status == "NOTE":
         idx["note"][key] = r.get("data")
-        return  # NOTE rows are informational: invisible to summary()
+        return  # NOTE rows carry no lifecycle status: excluded from
+        # `last` so a recovery note appended after RUNNING cannot mask
+        # a still-running partition as INDEXED
     idx["last"][key] = r
 
 
@@ -158,11 +165,14 @@ class Lineage:
         earlier FAILED); any terminal FAILED → FAILED + lastError, else
         any still-RUNNING partition → INDEXING, else INDEXED. Driver-
         side file read — no Spark jobs."""
-        last = self._load()[1]["last"]  # latest status row per
-        # (build, partition), maintained in append order by _index_row
-        # (NOTE rows excluded — informational only, per note())
+        idx = self._load()[1]
+        last = idx["last"]  # latest status row per (build, partition),
+        # maintained in append order by _index_row (NOTE rows excluded
+        # from the lifecycle — but they DO advance max_ts, so a
+        # notes-only lineage still reports its last-activity time)
         if not last:
-            return {"status": "INDEXED", "status_time": None,
+            return {"status": "INDEXED",
+                    "status_time": idx["max_ts"] or None,
                     "last_error": None}
         failed = [r for r in last.values() if r["status"] == "FAILED"]
         running = [r for r in last.values() if r["status"] == "RUNNING"]
@@ -173,9 +183,7 @@ class Lineage:
             status, err = "INDEXING", None
         else:
             status, err = "INDEXED", None
-        t = max((r.get("finished_at") or r.get("started_at") or 0)
-                for r in last.values())
-        return {"status": status, "status_time": t or None,
+        return {"status": status, "status_time": idx["max_ts"] or None,
                 "last_error": err}
 
     def note(self, build_id: str, partition_id: str, **data) -> None:

@@ -286,3 +286,27 @@ def test_decontaminate_shuffle_path_equals_broadcast(spark, tmp_path):
     analyzed = shuffled._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in analyzed
     assert "ResolvedHint" not in analyzed  # no forced broadcast
+
+
+def test_clean_stages_params_change_resume_identity():
+    """Changed stage PARAMETERS must change the default build_id
+    (resuming with different thresholds against old DONE stages would
+    silently serve wrong data) — and identical params must not."""
+    from search_engine_skillbox_spark.operators.pipeline import (
+        default_clean_stages)
+    base = default_clean_stages(gopher_structural_only=True)
+    same = default_clean_stages(gopher_structural_only=True)
+    assert base.params_sig == same.params_sig
+    for variant in (
+            default_clean_stages(gopher_structural_only=False),
+            default_clean_stages(gopher_structural_only=True,
+                                 sample_rate=0.4),
+            default_clean_stages(gopher_structural_only=True,
+                                 contamination_threshold=0.7),
+            default_clean_stages(gopher_structural_only=True,
+                                 minhash={"bands": 8}),
+            default_clean_stages(gopher_structural_only=True,
+                                 strata={"ru": 1.0}),
+            default_clean_stages(gopher_structural_only=True,
+                                 decontam_broadcast=True)):
+        assert variant.params_sig != base.params_sig

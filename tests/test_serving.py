@@ -405,9 +405,10 @@ def test_concurrent_serving_consistent(spark, store, qterms):
     """The serving tier under real thread concurrency: many overlapping
     serve_topk / serve_site_topk / serve_doc_rows calls on ONE store
     must equal the single-threaded answers and raise nothing — pins the
-    borrow-files deferral, the per-handle read locks (_read_rg), and
-    the double-checked _serve_lock creation. A tiny FILE_HANDLE_CAP
-    forces close-resets to actually contend mid-flight."""
+    borrow-registry eviction protection, the per-handle read locks
+    (_read_rg), and the double-checked _serve_lock creation. A tiny
+    FILE_HANDLE_CAP forces cap-breach evictions to actually contend
+    mid-flight."""
     from concurrent.futures import ThreadPoolExecutor
 
     host = next(iter(store.meta().get("n_docs_by_host", {})))
@@ -437,6 +438,9 @@ def test_concurrent_serving_consistent(spark, store, qterms):
         sv.FILE_HANDLE_CAP = old_cap
     for kind, val in results:
         assert val == want[kind], kind
-    # the deferred close must eventually fire (no borrower active now)
+    # no borrower is active now: the borrow registry must be empty
+    # (a leaked depth entry would protect its handles forever), and an
+    # explicit close must leave the memo empty so fds are reclaimable
+    assert getattr(store, "_serve_borrows", {}) == {}
     sv.close_files(store)
-    assert not getattr(store, "_serve_close_pending", False)
+    assert sv._scache(store).get("files", {}) == {}
