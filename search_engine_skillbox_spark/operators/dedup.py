@@ -98,6 +98,18 @@ def _drop_big_buckets(rows: DataFrame, keys: list[str], max_bucket: int,
     return rows.join(over_keys, keys, "left_anti")
 
 
+def _shingle_arr(t: F.Column, k: int) -> F.Column:
+    """k-token shingle array over a token-array column (NOT deduped —
+    callers that need per-doc distinctness apply array_distinct). Docs
+    with < k tokens yield their full token join as one shingle (so
+    short docs still participate). Pure higher-order functions: stays
+    a projection, never forces an explode."""
+    return (F.when(F.size(t) < k, F.array(F.concat_ws(" ", t)))
+            .otherwise(F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))))
+
+
 def shingles(docs: DataFrame, k: int = 3, doc_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """(doc_id, shingle): distinct k-token shingles per doc (tokens via
@@ -112,14 +124,8 @@ def shingles(docs: DataFrame, k: int = 3, doc_col: str = "doc_id",
     # consumer: all four dedup ops and decontaminate)
     return toks.select(
         "doc_id",
-        F.explode(F.array_distinct(
-            F.when(F.size("t") < k,
-                   F.array(F.concat_ws(" ", F.col("t"))))
-            .otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - k),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k))))
-        )).alias("shingle"))
+        F.explode(F.array_distinct(_shingle_arr(F.col("t"), k)))
+        .alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
@@ -158,20 +164,50 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def _minhash_sig_df(docs: DataFrame, m: int, k: int, doc_col: str,
+                    text_col: str) -> DataFrame:
+    """(doc_id, sig: array<long>[m]) — MinHash signatures as a ZERO-
+    SHUFFLE projection. MinHash is per-doc embarrassingly parallel, so
+    the round-2 formulation (explode shingles → groupBy(doc_id) agg m
+    mins) shuffled the whole exploded shingle corpus for nothing — at
+    100 TB that exchange IS the stage. Here tokens → shingle array →
+    h32 array → m array_min folds all stay inside one whole-stage-
+    codegen'd projection; the only md5 pass is the single `hs`
+    transform (Catalyst's CollapseProject keeps a non-cheap alias
+    referenced m times un-inlined, verified via explain in
+    tests/test_dedup.py::test_minhash_signatures_plan_has_no_exchange).
+
+    min over the NON-distinct shingle multiset equals min over the
+    distinct set, so array_distinct is skipped (values bit-identical
+    to the grouped formulation and the DuckDB oracle)."""
+    toks = docs.select(F.col(doc_col).alias("doc_id"),
+                       tokens(F.col(text_col)).alias("t"))
+    toks = toks.filter(F.size("t") > 0)
+    hashed = toks.select(
+        "doc_id", F.transform(_shingle_arr(F.col("t"), k), h32).alias("hs"))
+    def _perm(i: int):
+        # a dedicated unary-lambda factory: `lambda h, i=i: ...` would
+        # be a BINARY lambda to PySpark's transform, which then feeds
+        # the array index into i instead of the Python constant
+        a, b = 2 * i + 1, 1000003 * i
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+
+    mins = [F.array_min(F.transform(F.col("hs"), _perm(i))).alias(f"mh_{i}")
+            for i in range(m)]
+    return hashed.select("doc_id", F.array(*mins).alias("sig"))
+
+
 def minhash_signatures(docs: DataFrame, m: int = 16, k: int = 3,
                        doc_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(doc_id, mh_0..mh_{m-1}): MinHash over k-shingles with the
     permutation family  h_i(x) = (a_i·h32(x) + b_i) mod (2³¹−1),
-    a_i = 2i+1, b_i = 1000003·i  — products stay < 2⁴² (ANSI-safe)."""
-    sh = shingles(docs, k, doc_col, text_col)
-    base = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
-    aggs = [
-        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(1000003 * i))
-              % F.lit(MERSENNE31)).alias(f"mh_{i}")
-        for i in range(m)
-    ]
-    return base.groupBy("doc_id").agg(*aggs)
+    a_i = 2i+1, b_i = 1000003·i  — products stay < 2⁴² (ANSI-safe).
+    Zero-shuffle (see _minhash_sig_df)."""
+    sig = _minhash_sig_df(docs, m, k, doc_col, text_col)
+    return sig.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"mh_{i}")
+                    for i in range(m)])
 
 
 def minhash_lsh_pairs(docs: DataFrame, m: int = 16, bands: int = 4,
@@ -189,18 +225,21 @@ def minhash_lsh_pairs(docs: DataFrame, m: int = 16, bands: int = 4,
     """
     assert m % bands == 0
     r = m // bands
-    sig = minhash_signatures(docs, m, k, doc_col, text_col)
-    mh_cols = [f"mh_{i}" for i in range(m)]
+    sig = _minhash_sig_df(docs, m, k, doc_col, text_col)
 
+    # carry the signature as ONE array column through the band explode
+    # and the self-join (not m scalar columns — 1 struct vs 16 in every
+    # exchange row), and compute est_sim with a zip_with fold instead
+    # of m projected eq_i columns
     band_rows = sig.select(
-        "doc_id", *mh_cols,
+        "doc_id", "sig",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
-                     F.concat_ws("_", *[F.col(f"mh_{bi * r + j}")
+                     F.concat_ws("_", *[F.element_at("sig", bi * r + j + 1)
                                         for j in range(r)]).alias("key"))
             for bi in range(bands)
         ])).alias("bk"))
-    band_rows = band_rows.select("doc_id", *mh_cols,
+    band_rows = band_rows.select("doc_id", "sig",
                                  F.col("bk.band").alias("band"),
                                  F.col("bk.key").alias("key"))
     if max_bucket is not None:
@@ -208,18 +247,20 @@ def minhash_lsh_pairs(docs: DataFrame, m: int = 16, bands: int = 4,
                                       max_bucket, "LSH band")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
+    matches = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"),
-                    *[(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"))
-                      .cast("int").alias(f"eq_{i}") for i in range(m)])
+                    matches.alias("n_eq"))
             .distinct())
     est = cand.select(
         "doc1", "doc2",
-        (sum(F.col(f"eq_{i}") for i in range(m)) / F.lit(float(m)))
-        .alias("est_sim"))
+        (F.col("n_eq") / F.lit(float(m))).alias("est_sim"))
     return est.filter(F.col("est_sim") >= threshold)
 
 

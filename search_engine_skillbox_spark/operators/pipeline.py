@@ -59,7 +59,13 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     CORPUS): inner SHUFFLE join on the n-grams finds the hits, and
     the per-doc size aggregation runs only over semi-joined
     (contaminated) docs, so the second corpus pass touches the ~0.1%
-    of docs with any overlap instead of everything. Equality with the
+    of docs with any overlap instead of everything. The join key is
+    h60(shingle), not the shingle string — an 8-gram string is ~50
+    bytes and the corpus side of this exchange is the whole corpus's
+    n-grams, so hashing cuts the shuffle volume ~6×. False hits need
+    an h60 collision between a doc n-gram and a bench n-gram it
+    doesn't equal: expected count ≈ |doc n-grams|·|bench n-grams|/2⁶⁰
+    (≈3·10⁻⁵ at 10⁸×10⁵ — disclosed, not hidden). Equality with the
     broadcast plan is pytest-pinned.
 
     contamination = fraction of the doc's distinct n-grams that appear
@@ -70,11 +76,14 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
                     .withColumn("_hit", F.lit(1)))
     doc_ngrams = shingles(docs, n, doc_col, text_col)
     if not broadcast_bench:
-        hits = (doc_ngrams.join(bench_ngrams.select("shingle"), "shingle")
+        from ..functions.hashing import h60
+        dh = doc_ngrams.select("doc_id", h60(F.col("shingle")).alias("__h"))
+        bh = (bench_ngrams.select(h60(F.col("shingle")).alias("__h"))
+              .distinct())
+        hits = (dh.join(bh, "__h")
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("n_hits")))
-        sizes = (doc_ngrams.join(hits.select("doc_id"), "doc_id",
-                                 "left_semi")
+        sizes = (dh.join(hits.select("doc_id"), "doc_id", "left_semi")
                  .groupBy("doc_id")
                  .agg(F.count(F.lit(1)).alias("n_ngrams")))
         return (hits.join(sizes, "doc_id")
@@ -141,23 +150,30 @@ def sample_by_hash(docs: DataFrame, rate: float,
 # PII patterns shared verbatim by the Spark (Java regex) and DuckDB
 # (RE2) engines — stick to the common subset: no backrefs, no
 # lookaround (RE2 has neither, so "at least N digits" can't be a
-# lookahead). Phone = three anchored shapes, each chosen so common
+# lookahead). Phone = five anchored shapes, each chosen so common
 # non-PII numerics CANNOT match:
 #   1. +-prefixed international runs (+1 555 0102, +7 (495) 123-45-67)
-#   2. US-style parenthesized area code ((555) 010-1234)
-#   3. bare 3-3-4 separated groups (555-010-1234)
+#   2. Russian domestic 8-prefixed numbers with the standard 2-2 tail
+#      grouping, parens optional (8 (916) 123-45-67, 8-916-123-45-67)
+#      — a pipeline that handles ru corpora (RU_STOPWORDS, lang
+#      column) must catch the domestic form, not just '+7'
+#   3. US-style parenthesized area code ((555) 010-1234)
+#   4. parenthesized area code with 2-2 tail ((495) 123-45-67)
+#   5. bare 3-3-4 separated groups (555-010-1234)
 # ISO dates (4-2-2), European dotted dates (2-2-4), prices, IPs
 # (3-3-3-3 needs a 4th group; 192.168.1.1 has 1-digit groups), version
 # strings, and plain order-id digit runs match none of the shapes.
 # Residual false positives, disclosed: any 3-3-4 separated digit
 # triple (some serial-number formats). Residual false negatives,
 # disclosed: unseparated 10-digit locals ('5550101234') and
-# international numbers missing their '+' — redacting bare digit runs
-# was the round-5 over-redaction bug (ISO dates became [PHONE] and
-# corrupted training text), and precision wins here.
+# international numbers missing their '+'/'8' — redacting bare digit
+# runs was the round-5 over-redaction bug (ISO dates became [PHONE]
+# and corrupted training text), and precision wins here.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = (r"\+\d[\d().\- ]{6,16}\d"
+            r"|8[ .\-]?\(?\d{3}\)?[ .\-]?\d{3}[ .\-]\d{2}[ .\-]\d{2}"
             r"|\(\d{3}\)[ .\-]?\d{3}[ .\-]\d{4}"
+            r"|\(\d{3}\)[ .\-]?\d{3}[ .\-]\d{2}[ .\-]\d{2}"
             r"|\d{3}[ .\-]\d{3}[ .\-]\d{4}")
 
 
@@ -328,19 +344,24 @@ def default_clean_stages(*, gopher_structural_only: bool = False,
 
 
 def _dir_fingerprint(path: str) -> str:
-    """Cheap input identity: md5 over the sorted (relpath, size, mtime)
-    listing of the parquet files under `path`. Changing the input data
-    changes the fingerprint, which changes the default build_id — a
-    resume against swapped input re-runs everything instead of silently
-    serving stale DONE stages."""
+    """Cheap input identity: md5 over the file count plus the sorted
+    (relpath, size, mtime_ns) listing of the parquet files under
+    `path`. Changing the input data changes the fingerprint, which
+    changes the default build_id — a resume against swapped input
+    re-runs everything instead of silently serving stale DONE stages.
+    mtime at NANOSECOND resolution: whole seconds let an in-place
+    rewrite within the same second (same names/sizes) keep the old
+    build_id and silently serve stale stage outputs."""
     import hashlib
 
     from .index_store import walk_parquet_files
     h = hashlib.md5()
-    for p in walk_parquet_files(path):
+    files = list(walk_parquet_files(path))
+    h.update(f"n={len(files)}\n".encode())
+    for p in files:
         st = os.stat(p)
         h.update(f"{os.path.relpath(p, path)}|{st.st_size}|"
-                 f"{int(st.st_mtime)}\n".encode())
+                 f"{st.st_mtime_ns}\n".encode())
     return h.hexdigest()[:12]
 
 
@@ -451,19 +472,40 @@ def clean_corpus_fused(spark, input_path: str, out_path: str,
     work (BENCH/pipeline_scaling_diag.json), and this variant is the
     experiment that tests that attribution by deleting the barriers.
 
+    Cache working set is capped at TWO stages, not six: each stage is
+    eagerly materialized (count()) and its predecessor unpersisted the
+    moment its last consumer has run — six corpora pinned in the cache
+    tier through the final write was the unbounded-memory shape. The
+    count() is a cache-to-cache pass (the work happens exactly once;
+    the final write then reads cache), and a later eviction of an
+    unpersisted ancestor only costs lineage recompute, never
+    correctness. All unpersists run in try/finally, so a mid-chain
+    failure releases every persisted frame instead of pinning them
+    until session end (pytest-pinned both ways,
+    test_pipeline::test_fused_unpersists_on_success_and_failure).
+
     Result equivalence with the staged chain is pytest-pinned
     (test_pipeline::test_fused_equals_staged)."""
     from pyspark import StorageLevel
     if stages is None:
         stages = default_clean_stages()
     lvl = getattr(StorageLevel, storage_level)
-    cached = []
+    cached: list = []
     cur = spark.read.parquet(input_path)
-    for _name, fn in stages:
-        cur = fn(cur).persist(lvl)
-        cached.append(cur)
-    cur.write.mode("overwrite").parquet(out_path)
+    try:
+        prev = None
+        for _name, fn in stages:
+            cur = fn(cur).persist(lvl)
+            cached.append(cur)
+            cur.count()  # materialize this stage's cache NOW so the
+            # predecessor's last consumer has run and it can be freed
+            if prev is not None:
+                prev.unpersist()
+                cached.remove(prev)
+            prev = cur
+        cur.write.mode("overwrite").parquet(out_path)
+    finally:
+        for df in cached:
+            df.unpersist()
     rows, nbytes = _parquet_stats(out_path)
-    for df in cached:
-        df.unpersist()
     return {"final_path": out_path, "rows_out": rows, "bytes_out": nbytes}

