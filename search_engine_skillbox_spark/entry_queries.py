@@ -325,6 +325,10 @@ SELECT id1, id2, cos FROM p WHERE cos >= 0.95
 # ---------------------------------------------------------------------------
 
 def _qvec(spark, sf_dir):
+    # GATE-ONLY driver-side fetch: the gate derives its query vector
+    # from the corpus for determinism; a production ANN query arrives
+    # as a literal — the engine paths (cosine_topk/ivf_query) never
+    # collect vectors
     row = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
            .select("embedding").first())
     return [float(x) for x in row["embedding"]]
@@ -685,8 +689,10 @@ def q_search_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAND pruning; oracle: the same TF-IDF SQL as search_tfidf_topk."""
     from .operators.wand import wand_topk
     st, docs = _build_store(spark, sf_dir)
-    # over-fetch the full candidate set so the final tie-break can use the
-    # ORIGINAL doc_id (the engine's xxhash64 ids order ties differently)
+    # GATE-ONLY over-fetch (k = corpus size, via a count() the gate
+    # affords at sf0.01): lets the final tie-break use the ORIGINAL
+    # doc_id (the engine's xxhash64 ids order ties differently);
+    # production callers pass a small k
     top = wand_topk(spark, st, QUERY_TERMS_W, int(docs.count()))
     url_doc = st.docs(spark).select(
         "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
@@ -707,6 +713,7 @@ def q_search_site_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
     st, docs = _build_store(spark, sf_dir)
     # over-fetch the full candidate set so the final tie-break can use
     # the ORIGINAL doc_id (engine ids are xxhash64 of the url)
+    # GATE-ONLY over-fetch: k = corpus size via count() (see q_ann note)
     top = site_topk(spark, st, QUERY_TERMS_W, int(docs.count()), "src3.test")
     url_doc = st.docs(spark).select(
         "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
@@ -731,6 +738,9 @@ def q_search_after_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.incremental import delete_page, reindex_page
     from .operators.wand import wand_topk
     st, docs = _build_store(spark, sf_dir, private=True)  # mutates
+    # GATE-ONLY setup reads: fetch two rows to fabricate the reindex/
+    # delete payloads — not an engine pattern (incremental callers
+    # bring their own page dicts)
     r5 = (docs.filter(F.col("doc_id") == 5)
           .select("source", "text", "lang").first())
     r7 = docs.filter(F.col("doc_id") == 7).select("source").first()
@@ -739,6 +749,7 @@ def q_search_after_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_ts": dt.datetime(2025, 1, 1), "html": None,
         "text": r5["text"] + " merge merge spark", "lang": r5["lang"]})
     delete_page(spark, st, f"https://{r7['source']}.test/doc/7")
+    # GATE-ONLY over-fetch: k = corpus size via count() (see q_ann note)
     top = wand_topk(spark, st, QUERY_TERMS_W, int(docs.count()))
     url_doc = st.docs(spark).select(
         "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
@@ -783,6 +794,7 @@ def q_search_after_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
      .repartition(8).write.mode("overwrite").parquet(sdir))
     stream_pages(spark, st, sdir,
                  tempfile.mkdtemp(prefix="entry_stream_ckpt_"))
+    # GATE-ONLY over-fetch: k = corpus size via count() (see q_ann note)
     top = wand_topk(spark, st, QUERY_TERMS_W, int(docs.count()))
     url_doc = st.docs(spark).select(
         "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1)
@@ -1094,6 +1106,152 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# the composed cleaning chain as ONE gate row (VERDICT r6 #3): the six
+# stages of operators/pipeline.default_clean_stages chained lazily and
+# hash-compared against a DuckDB oracle that composes the six stage
+# SQLs — every stage already has its own green row; this row pins the
+# COMPOSITION (each stage consuming the previous stage's survivors)
+# ---------------------------------------------------------------------------
+
+CHAIN_BENCH_MOD = 997  # default self-derived bench slice (doc 0 at sf0.01)
+
+
+def q_clean_corpus_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher(structural) → exact dedup → minhash-LSH(0.8) →
+    decontaminate(self-bench %997, shuffle/h60 plan) → sample 50% →
+    PII redact, composed exactly as clean_corpus runs them (same
+    default_clean_stages factory), minus the parquet barriers the gate
+    can't express. Stage outputs are persist()ed: three stages
+    reference their input more than once and an unpersisted lazy chain
+    recomputes the whole upstream per reference."""
+    from .operators.pipeline import default_clean_stages
+    df = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    for _name, fn in default_clean_stages(gopher_structural_only=True):
+        df = fn(df).persist()
+    return df.select("doc_id", "lang", "text", "n_emails", "n_phones")
+
+
+def _chain_sql() -> str:
+    from .functions import textstats as TS
+    from .operators.pipeline import EMAIL_RE, PHONE_RE, _SAMPLE_DOMAIN
+    mins = ", ".join(
+        f"min((h * {2 * i + 1} + {1000003 * i}) % {M}) AS mh_{i}"
+        for i in range(NMH))
+    r = NMH // BANDS
+    bandrows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS key"
+        " FROM csig".format(
+            b=bi, cols=", ".join(f"mh_{bi * r + j}" for j in range(r)))
+        for bi in range(BANDS))
+    eqs = " + ".join(f"(x.mh_{i} = y.mh_{i})::INT" for i in range(NMH))
+    half = _SAMPLE_DOMAIN // 2  # int(0.5 * 2^60), exact
+    tok = ("list_filter(regexp_split_to_array(lower(text),"
+           " '[^\\p{L}]+'), x -> x <> '')")
+    return f"""
+WITH s0 AS (SELECT doc_id, text, lang FROM documents),
+gw AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+  FROM s0
+),
+gm AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         CASE WHEN len(words) > 0
+              THEN (list_sum(list_transform(words, x -> length(x)))::BIGINT)::DOUBLE
+                   / len(words) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(words) > 0
+              THEN ((len(regexp_split_to_array(text, '#')) - 1)
+                    + (len(regexp_split_to_array(text, '…')) - 1)
+                    + (len(regexp_split_to_array(text, '\\.\\.\\.')) - 1))::DOUBLE
+                   / len(words) ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> regexp_matches(x, '\\p{{L}}')))::DOUBLE
+                   / len(words) ELSE 0.0 END AS alpha_word_frac
+  FROM gw
+),
+s1 AS (
+  SELECT s0.* FROM s0 JOIN gm USING (doc_id)
+  WHERE gm.n_words >= {TS.GOPHER_MIN_WORDS}
+    AND gm.n_words <= {TS.GOPHER_MAX_WORDS}
+    AND gm.mean_word_len >= {TS.GOPHER_MIN_MEAN_WL}
+    AND gm.mean_word_len <= {TS.GOPHER_MAX_MEAN_WL}
+    AND gm.symbol_ratio <= {TS.GOPHER_MAX_SYMBOL_RATIO}
+    AND gm.alpha_word_frac >= {TS.GOPHER_MIN_ALPHA_WORD_FRAC}
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+s2 AS (SELECT s1.* FROM s1 SEMI JOIN keep USING (doc_id)),
+ctoks AS (SELECT doc_id, {tok} AS t FROM s2),
+csh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         END AS shs
+  FROM ctoks WHERE len(t) > 0
+),
+csh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM csh0),
+cbase AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM csh),
+csig AS (SELECT doc_id, {mins} FROM cbase GROUP BY doc_id),
+cbandrows AS (
+{bandrows}
+),
+cbandcap AS (
+  SELECT b.* FROM cbandrows b
+  JOIN (SELECT band, key FROM cbandrows GROUP BY band, key
+        HAVING count(*) <= {MAX_LSH_BUCKET}) ok USING (band, key)
+),
+ccand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM cbandcap a JOIN cbandcap b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+closers AS (
+  SELECT DISTINCT c.doc2 AS doc_id
+  FROM ccand c
+  JOIN csig x ON x.doc_id = c.doc1
+  JOIN csig y ON y.doc_id = c.doc2
+  WHERE ({eqs}) / {float(NMH)} >= 0.8
+),
+s3 AS (SELECT s2.* FROM s2 ANTI JOIN closers USING (doc_id)),
+dtoks AS (SELECT doc_id, {tok} AS t FROM s3),
+dsh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 6),
+                                  i -> array_to_string(list_slice(t, i, i + 7), ' '))
+         END AS shs
+  FROM dtoks WHERE len(t) > 0
+),
+dsh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM dsh0),
+dhash AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hh FROM dsh),
+bh AS (SELECT DISTINCT hh FROM dhash WHERE doc_id % {CHAIN_BENCH_MOD} = 0),
+dhits AS (SELECT doc_id, count(*) AS n_hits FROM dhash SEMI JOIN bh USING (hh) GROUP BY doc_id),
+dsizes AS (SELECT doc_id, count(*) AS n_ngrams
+           FROM dhash SEMI JOIN dhits USING (doc_id) GROUP BY doc_id),
+contam AS (
+  SELECT h.doc_id FROM dhits h JOIN dsizes z USING (doc_id)
+  WHERE h.n_hits::DOUBLE / z.n_ngrams >= 0.8
+),
+s4 AS (SELECT s3.* FROM s3 ANTI JOIN contam USING (doc_id)),
+s5 AS (SELECT * FROM s4
+       WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT < {half}),
+e AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g') AS t2
+  FROM s5
+)
+SELECT doc_id, lang,
+       regexp_replace(t2, '{PHONE_RE}', '[PHONE]', 'g') AS text,
+       n_emails::BIGINT AS n_emails,
+       len(regexp_extract_all(t2, '{PHONE_RE}'))::BIGINT AS n_phones
+FROM e
+"""
+
+
 SESSION_GAP_MIN = 240
 
 
@@ -1184,6 +1342,10 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # be wall-clock (sessions.py reads them as such), and streams
         # EXECUTE inside this block (awaitTermination below)
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # GATE-ONLY scalar collect: the staged-backlog harness needs
+        # the corpus max event time to place its two watermark
+        # sentinels; a real stream has no such lookahead (watermarks
+        # advance from live data)
         max_ts = ev.agg(F.max(F.col("ts").cast("timestamp")
                               .cast("long"))).collect()[0][0]
         gap_s, wm_s = SESSION_GAP_MIN * 60, 600
@@ -1264,6 +1426,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "text_metrics": q_text_metrics,
     "decontaminate": q_decontaminate,
+    "clean_corpus_chain": q_clean_corpus_chain,
     "sample_hash": q_sample_hash,
     "pii_redact": q_pii_redact,
     "events_window": q_events_window,
@@ -1292,6 +1455,7 @@ ORACLES = {
     "ann_ivf_topk": _SQL_ANN_IVF,
     "text_metrics": _text_metrics_sql(),
     "decontaminate": _SQL_DECONTAM,
+    "clean_corpus_chain": _chain_sql(),
     "sample_hash": _sample_sql(),
     "pii_redact": _pii_sql(),
     "events_window": _SQL_EVENTS_WINDOW,

@@ -76,17 +76,22 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
                     .withColumn("_hit", F.lit(1)))
     doc_ngrams = shingles(docs, n, doc_col, text_col)
     if not broadcast_bench:
+        # same single-pass shape as the broadcast plan (left join +
+        # ONE groupBy computing hits and sizes together) with a
+        # shuffle join on h60 keys: the corpus n-grams are hashed and
+        # exchanged exactly ONCE (a separate hits/sizes pair measured
+        # 2× the md5 cost — each aggregation recomputed the shingle
+        # projection), and the post-join groupBy collapses map-side
+        # to ~1 row per doc before its exchange
         from ..functions.hashing import h60
         dh = doc_ngrams.select("doc_id", h60(F.col("shingle")).alias("__h"))
         bh = (bench_ngrams.select(h60(F.col("shingle")).alias("__h"))
-              .distinct())
-        hits = (dh.join(bh, "__h")
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("n_hits")))
-        sizes = (dh.join(hits.select("doc_id"), "doc_id", "left_semi")
-                 .groupBy("doc_id")
-                 .agg(F.count(F.lit(1)).alias("n_ngrams")))
-        return (hits.join(sizes, "doc_id")
+              .distinct().withColumn("_hit", F.lit(1)))
+        flagged = dh.join(bh, "__h", "left")
+        return (flagged.groupBy("doc_id")
+                .agg(F.count("_hit").alias("n_hits"),
+                     F.count(F.lit(1)).alias("n_ngrams"))
+                .filter(F.col("n_hits") > 0)
                 .select("doc_id", "n_hits", "n_ngrams",
                         (F.col("n_hits") / F.col("n_ngrams"))
                         .alias("contamination")))
@@ -323,11 +328,20 @@ def default_clean_stages(*, gopher_structural_only: bool = False,
         return sample_by_hash(df, sample_rate, strata=strata)
 
     def redact(df: DataFrame) -> DataFrame:
-        out = pii_redact(df)
-        other = [c for c in df.columns if c not in ("doc_id", "text")]
-        return (df.select("doc_id", *other)
-                .join(out.withColumnRenamed("clean_text", "text"),
-                      "doc_id"))
+        # inline pii_redact's expressions instead of joining its output
+        # back on doc_id — redaction is a pure projection, and the join
+        # formulation was a self-join (input computed twice + two
+        # exchanges + sort-merge) for what one select does
+        c = F.col("text")
+        no_email = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+        clean = F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
+        other = [x for x in df.columns if x not in ("doc_id", "text")]
+        return df.select(
+            "doc_id", *other, clean.alias("text"),
+            F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")
+            .alias("n_emails"),
+            F.regexp_count(no_email, F.lit(PHONE_RE)).cast("long")
+            .alias("n_phones"))
 
     out = _StageList([("gopher_filter", gopher),
                       ("exact_dedup", dedup_keep_first),

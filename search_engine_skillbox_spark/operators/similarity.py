@@ -75,7 +75,8 @@ def _assign_cells(emb: DataFrame, centroids: list[list[float]],
 
 def kmeans_cells(emb: DataFrame, k: int = 16, n_iter: int = 5,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 sample_rate: float | None = None) -> DataFrame:
     """Spherical k-means cell assignment for IVF when no natural cell
     column exists. Seeds = the k lowest-id vectors (deterministic
     init); each iteration assigns every vector to its max-cosine
@@ -84,23 +85,43 @@ def kmeans_cells(emb: DataFrame, k: int = 16, n_iter: int = 5,
     previous centroid. Deterministic up to float-sum association in
     the distributed mean; assignment ties break to the lowest cell.
 
+    sample_rate: the 10^12-vector shape — train the centroids on a
+    deterministic md5-hash sample (pipeline.sample_by_hash keyed on
+    id_col: reproducible across runs/engines, unlike df.sample) and
+    assign the FULL table once with the learned centroids. Coarse
+    k-means needs only enough points per cell to place centers —
+    a 10^-6 sample of 10^12 vectors is 10^6 training points for
+    k ~ thousands; the n_iter scans then touch the sample, not the
+    corpus, and the full table is scanned exactly once (the final
+    _assign_cells projection). Recall parity with full-table training
+    is pytest-pinned (test_dedup::test_ivf_sampled_train_recall).
+
     Returns emb + `cell` int column — feed to build_ivf(cell_col=
-    "cell"). Cost: n_iter+1 scans at BUILD time (never per query);
-    at 10^12 vectors train on a sample and _assign_cells the rest."""
-    emb = emb.persist()
+    "cell"). Cost: n_iter+1 sample scans + ONE full scan at BUILD
+    time (never per query)."""
+    if sample_rate is not None:
+        from .pipeline import sample_by_hash
+        train = sample_by_hash(emb, sample_rate, key_col=id_col)
+    else:
+        train = emb
+    train = train.persist()
     try:
-        seeds = (emb.orderBy(F.asc(id_col)).limit(k)
+        seeds = (train.orderBy(F.asc(id_col)).limit(k)
                  .select(vec_col).collect())
+        if len(seeds) < k:
+            raise ValueError(
+                f"k-means needs >= k={k} training vectors, sample has "
+                f"{len(seeds)} — raise sample_rate (or lower k)")
         cents = [[float(x) for x in r[vec_col]] for r in seeds]
         for _ in range(n_iter):
-            assigned = _assign_cells(emb, cents, vec_col)
+            assigned = _assign_cells(train, cents, vec_col)
             got = {int(r["cell"]): [float(x) for x in r["centroid"]]
                    for r in ivf_centroids(assigned, "cell",
                                           vec_col).collect()}
             cents = [got.get(i, c) for i, c in enumerate(cents)]
         return _assign_cells(emb, cents, vec_col)
     finally:
-        emb.unpersist()
+        train.unpersist()
 
 
 def ivf_centroids(emb: DataFrame, cell_col: str = "label",
