@@ -159,6 +159,59 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc1", "doc2", F.round("est_sim", 6).alias("est_sim"))
 
 
+def _minhash_window_sql(src_toks: str, k: int = 3) -> str:
+    """CTE pair (thl, hsl) mirroring dedup._minhash_sig_df's rolling
+    window hash: per-token h60 % p, then Σⱼ 3^(k−1−j)·th[i+j] mod p
+    per k-window (short docs fold the whole array — list_reduce's
+    first-element init equals the engine's init-0 fold because th is
+    pre-modded < p). src_toks must provide (doc_id, t: list)."""
+    coefs = " + ".join(f"th[i+{j}] * {3 ** (k - 1 - j)}" for j in range(k))
+    return f"""thl AS (
+  SELECT doc_id,
+         list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {M}) AS th
+  FROM {src_toks} WHERE len(t) > 0),
+hsl AS (
+  SELECT doc_id,
+         CASE WHEN len(th) < {k} THEN [list_reduce(th, (x, y) -> (x*3 + y) % {M})]
+              ELSE list_transform(range(1, len(th) - {k - 2}),
+                                  i -> ({coefs}) % {M})
+         END AS hs
+  FROM thl)"""
+
+
+def _ngram_hash_sql(src: str, n: int, pre: str) -> str:
+    """CTE chain ({pre}t → {pre}g: doc_id, __h) mirroring
+    pipeline._ngram_hash62's 62-bit rolling n-gram hash, DuckDB
+    dialect: per-token h60, two polynomial folds over the 30-bit
+    halves, __h = f1·2³¹ + f2; per-doc DISTINCT."""
+    sum3 = " + ".join(f"(hh[i+{j}] >> 30) * {3 ** (n - 1 - j)}"
+                      for j in range(n))
+    sum5 = " + ".join(f"(hh[i+{j}] & 1073741823) * {5 ** (n - 1 - j)}"
+                      for j in range(n))
+    return f"""{pre}t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM {src}),
+{pre}h AS (
+  SELECT doc_id,
+         list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hh
+  FROM {pre}t WHERE len(t) > 0),
+{pre}w AS (
+  SELECT doc_id,
+         CASE WHEN len(hh) < {n} THEN
+           [list_reduce(list_transform(hh, h -> h >> 30),
+                        (x, y) -> (x*3 + y) % {M}) * 2147483648
+            + list_reduce(list_transform(hh, h -> h & 1073741823),
+                          (x, y) -> (x*5 + y) % {M})]
+         ELSE list_transform(range(1, len(hh) - {n - 2}),
+                             i -> (({sum3}) % {M}) * 2147483648
+                                  + (({sum5}) % {M}))
+         END AS ws
+  FROM {pre}h),
+{pre}g AS (SELECT DISTINCT doc_id, unnest(ws) AS __h FROM {pre}w)"""
+
+
 def _minhash_sql() -> str:
     mins = ", ".join(
         f"min((h * {2 * i + 1} + {1000003 * i}) % {M}) AS mh_{i}"
@@ -170,7 +223,8 @@ def _minhash_sql() -> str:
         for bi in range(BANDS))
     eqs = " + ".join(f"(s1.mh_{i} = s2.mh_{i})::INT" for i in range(NMH))
     return f"""WITH {_SQL_TOK_AUG},
-base AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+{_minhash_window_sql('toksl')},
+base AS (SELECT doc_id, unnest(hs) AS h FROM hsl),
 sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
 bandrows AS (
 {bandrows}
@@ -961,30 +1015,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_DECONTAM = f"""
-WITH toksl AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
-                     x -> x <> '') AS t
-  FROM documents
+WITH {_ngram_hash_sql('documents', 8, 'd')},
+bench AS (SELECT DISTINCT __h FROM dg WHERE doc_id % {DECONTAM_MOD} = 0),
+fl AS (
+  SELECT g.doc_id, CASE WHEN b.__h IS NULL THEN 0 ELSE 1 END AS hit
+  FROM dg g LEFT JOIN bench b USING (__h)
 ),
-sh0 AS (
-  SELECT doc_id,
-         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
-              ELSE list_transform(range(1, len(t) - 6),
-                                  i -> array_to_string(list_slice(t, i, i + 7), ' '))
-         END AS shs
-  FROM toksl WHERE len(t) > 0
-),
-sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0),
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),
-sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY doc_id),
-hits AS (
-  SELECT s.doc_id, count(*) AS n_hits
-  FROM sh s JOIN bench b USING (shingle) GROUP BY s.doc_id
+res AS (
+  SELECT doc_id, sum(hit)::BIGINT AS n_hits, count(*)::BIGINT AS n_ngrams
+  FROM fl GROUP BY doc_id
 )
-SELECT h.doc_id, h.n_hits, z.n_ngrams,
-       round(h.n_hits::DOUBLE / z.n_ngrams, 6) AS contamination
-FROM hits h JOIN sizes z USING (doc_id)
+SELECT doc_id, n_hits, n_ngrams,
+       round(n_hits::DOUBLE / n_ngrams, 6) AS contamination
+FROM res WHERE n_hits > 0
 """
 
 
@@ -1184,16 +1227,8 @@ s1 AS (
 keep AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
 s2 AS (SELECT s1.* FROM s1 SEMI JOIN keep USING (doc_id)),
 ctoks AS (SELECT doc_id, {tok} AS t FROM s2),
-csh0 AS (
-  SELECT doc_id,
-         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-              ELSE list_transform(range(1, len(t) - 1),
-                                  i -> array_to_string(list_slice(t, i, i + 2), ' '))
-         END AS shs
-  FROM ctoks WHERE len(t) > 0
-),
-csh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM csh0),
-cbase AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM csh),
+{_minhash_window_sql('ctoks')},
+cbase AS (SELECT doc_id, unnest(hs) AS h FROM hsl),
 csig AS (SELECT doc_id, {mins} FROM cbase GROUP BY doc_id),
 cbandrows AS (
 {bandrows}
@@ -1216,24 +1251,19 @@ closers AS (
   WHERE ({eqs}) / {float(NMH)} >= 0.8
 ),
 s3 AS (SELECT s2.* FROM s2 ANTI JOIN closers USING (doc_id)),
-dtoks AS (SELECT doc_id, {tok} AS t FROM s3),
-dsh0 AS (
-  SELECT doc_id,
-         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
-              ELSE list_transform(range(1, len(t) - 6),
-                                  i -> array_to_string(list_slice(t, i, i + 7), ' '))
-         END AS shs
-  FROM dtoks WHERE len(t) > 0
+{_ngram_hash_sql('s3', 8, 'd')},
+bh AS (SELECT DISTINCT __h FROM dg WHERE doc_id % {CHAIN_BENCH_MOD} = 0),
+dfl AS (
+  SELECT g.doc_id, CASE WHEN b.__h IS NULL THEN 0 ELSE 1 END AS hit
+  FROM dg g LEFT JOIN bh b USING (__h)
 ),
-dsh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM dsh0),
-dhash AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hh FROM dsh),
-bh AS (SELECT DISTINCT hh FROM dhash WHERE doc_id % {CHAIN_BENCH_MOD} = 0),
-dhits AS (SELECT doc_id, count(*) AS n_hits FROM dhash SEMI JOIN bh USING (hh) GROUP BY doc_id),
-dsizes AS (SELECT doc_id, count(*) AS n_ngrams
-           FROM dhash SEMI JOIN dhits USING (doc_id) GROUP BY doc_id),
+dres AS (
+  SELECT doc_id, sum(hit)::BIGINT AS n_hits, count(*)::BIGINT AS n_ngrams
+  FROM dfl GROUP BY doc_id
+),
 contam AS (
-  SELECT h.doc_id FROM dhits h JOIN dsizes z USING (doc_id)
-  WHERE h.n_hits::DOUBLE / z.n_ngrams >= 0.8
+  SELECT doc_id FROM dres
+  WHERE n_hits > 0 AND n_hits::DOUBLE / n_ngrams >= 0.8
 ),
 s4 AS (SELECT s3.* FROM s3 ANTI JOIN contam USING (doc_id)),
 s5 AS (SELECT * FROM s4

@@ -36,7 +36,7 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h32, h60
+from ..functions.hashing import h60
 from ..functions.textprep import tokens
 
 MERSENNE31 = (1 << 31) - 1
@@ -164,27 +164,56 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def _window_hash(th: F.Column, k: int, mult: int = 3) -> F.Column:
+    """Array of k-token window hashes over a PRE-MODDED (< 2³¹−1)
+    token-hash array: window i ↦ Σⱼ mult^(k−1−j)·th[i+j] mod (2³¹−1)
+    — the polynomial rolling-hash family, pure integer arithmetic, no
+    per-window string concat/md5. mult^(k−1)·2³¹ must stay < 2⁶³ for
+    ANSI (mult=3 covers k ≤ 20). Docs shorter than k fold their whole
+    token-hash array ((acc·mult + h) mod p, init 0 — equal to DuckDB's
+    list_reduce first-element init because th values are already < p).
+    """
+    coefs = [mult ** (k - 1 - j) for j in range(k)]
+    return (F.when(F.size(th) < k, F.array(
+        F.aggregate(th, F.lit(0).cast("long"),
+                    lambda acc, h: (acc * mult + h) % F.lit(MERSENNE31))))
+            .otherwise(F.transform(
+                F.sequence(F.lit(0), F.size(th) - k),
+                lambda i: sum(
+                    (F.element_at(th, i + j + 1) * F.lit(c)
+                     for j, c in list(enumerate(coefs))[1:]),
+                    F.element_at(th, i + 1) * F.lit(coefs[0]))
+                % F.lit(MERSENNE31))))
+
+
 def _minhash_sig_df(docs: DataFrame, m: int, k: int, doc_col: str,
                     text_col: str) -> DataFrame:
     """(doc_id, sig: array<long>[m]) — MinHash signatures as a ZERO-
     SHUFFLE projection. MinHash is per-doc embarrassingly parallel, so
     the round-2 formulation (explode shingles → groupBy(doc_id) agg m
     mins) shuffled the whole exploded shingle corpus for nothing — at
-    100 TB that exchange IS the stage. Here tokens → shingle array →
-    h32 array → m array_min folds all stay inside one whole-stage-
-    codegen'd projection; the only md5 pass is the single `hs`
-    transform (Catalyst's CollapseProject keeps a non-cheap alias
-    referenced m times un-inlined, verified via explain in
+    100 TB that exchange IS the stage.
+
+    Shingle identity is a polynomial rolling hash over PER-TOKEN
+    hashes (h60 % p), not md5 of the concatenated shingle string: one
+    md5 per token instead of one per window, and zero window-string
+    allocation — profiled 73 s → 46 s per corpus pass at 1M docs
+    (BENCH notes r7). The only md5 pass is the single `th` transform
+    (Catalyst's CollapseProject keeps a non-cheap alias referenced m
+    times un-inlined, verified via explain in
     tests/test_dedup.py::test_minhash_signatures_plan_has_no_exchange).
 
     min over the NON-distinct shingle multiset equals min over the
-    distinct set, so array_distinct is skipped (values bit-identical
-    to the grouped formulation and the DuckDB oracle)."""
+    distinct set, so no per-doc distinct is needed (values identical
+    to the DuckDB oracle, which mirrors the same fold)."""
     toks = docs.select(F.col(doc_col).alias("doc_id"),
                        tokens(F.col(text_col)).alias("t"))
     toks = toks.filter(F.size("t") > 0)
-    hashed = toks.select(
-        "doc_id", F.transform(_shingle_arr(F.col("t"), k), h32).alias("hs"))
+    th = toks.select(
+        "doc_id",
+        F.transform(F.col("t"),
+                    lambda x: h60(x) % F.lit(MERSENNE31)).alias("th"))
+    hashed = th.select("doc_id", _window_hash(F.col("th"), k).alias("hs"))
     def _perm(i: int):
         # a dedicated unary-lambda factory: `lambda h, i=i: ...` would
         # be a BINARY lambda to PySpark's transform, which then feeds
@@ -201,7 +230,8 @@ def minhash_signatures(docs: DataFrame, m: int = 16, k: int = 3,
                        doc_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(doc_id, mh_0..mh_{m-1}): MinHash over k-shingles with the
-    permutation family  h_i(x) = (a_i·h32(x) + b_i) mod (2³¹−1),
+    permutation family  h_i(x) = (a_i·x + b_i) mod (2³¹−1) over the
+    rolling window hash x (see _minhash_sig_df),
     a_i = 2i+1, b_i = 1000003·i  — products stay < 2⁴² (ANSI-safe).
     Zero-shuffle (see _minhash_sig_df)."""
     sig = _minhash_sig_df(docs, m, k, doc_col, text_col)
@@ -225,7 +255,15 @@ def minhash_lsh_pairs(docs: DataFrame, m: int = 16, bands: int = 4,
     """
     assert m % bands == 0
     r = m // bands
-    sig = _minhash_sig_df(docs, m, k, doc_col, text_col)
+    # localCheckpoint (eager) materializes the signature projection
+    # EXACTLY ONCE: the bucket-size logging pass and the main join run
+    # as separate Spark jobs, and exchange reuse does not span jobs —
+    # without this the tokenize+md5+fold pass ran once per job
+    # (measured: the whole stage 2× the single-pass cost at 1M docs).
+    # ~140 B/doc (doc_id + m longs); blocks are GC-managed with the
+    # returned plan. At true 10^12-doc scale the signature table is a
+    # persisted build artifact instead (like build_ivf's centroids).
+    sig = _minhash_sig_df(docs, m, k, doc_col, text_col).localCheckpoint()
 
     # carry the signature as ONE array column through the band explode
     # and the self-join (not m scalar columns — 1 struct vs 16 in every
@@ -242,17 +280,6 @@ def minhash_lsh_pairs(docs: DataFrame, m: int = 16, bands: int = 4,
     band_rows = band_rows.select("doc_id", "sig",
                                  F.col("bk.band").alias("band"),
                                  F.col("bk.key").alias("key"))
-    # ONE explicit exchange on the join key, placed deliberately: the
-    # zero-shuffle signature projection would otherwise be RECOMPUTED
-    # by every consumer (bucket-size aggregation + both self-join
-    # sides — three md5 passes over the corpus, measured slower than
-    # the old shuffling groupBy whose exchange they all reused).
-    # Repartitioning by (band, key) materializes the projection once,
-    # the groupBy and the self-join both consume the exchange without
-    # further shuffles (same keys), and ReuseExchange dedupes the two
-    # join sides. Exchange volume is 4 rows/doc of (sig, band, key) —
-    # ~4× lighter than the exploded-shingle shuffle it replaces.
-    band_rows = band_rows.repartition("band", "key")
     if max_bucket is not None:
         band_rows = _drop_big_buckets(band_rows, ["band", "key"],
                                       max_bucket, "LSH band")

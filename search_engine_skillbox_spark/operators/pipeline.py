@@ -26,13 +26,64 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles
+from ..functions.textprep import tokens
+from .dedup import MERSENNE31
 
 # contamination n-gram length: long enough that natural reuse is rare,
 # short enough to catch paraphrase-free inclusion (industry-standard
 # 8-13 token windows; e.g. GPT-3 used 13-gram, Llama 2 reports
 # 8-token-window skip-gram checks)
 DECONTAM_NGRAM = 8
+
+
+def _ngram_hash62(docs: DataFrame, n: int, doc_col: str,
+                  text_col: str) -> DataFrame:
+    """(doc_id, __h): 62-bit identities of the doc's DISTINCT n-token
+    n-grams, as a zero-shuffle projection + explode. Each token is
+    md5-hashed ONCE (h60); an n-gram's identity is two independent
+    degree-(n−1) polynomial folds over the hash halves —
+      f1 = Σⱼ 3^(n−1−j)·(h[i+j] >> 30)        mod (2³¹−1)
+      f2 = Σⱼ 5^(n−1−j)·(h[i+j] & (2³⁰−1))    mod (2³¹−1)
+      __h = f1·2³¹ + f2                        (< 2⁶²)
+    All intermediates stay < 2⁶³ (ANSI-safe: 3⁷·2³⁰ < 2⁴², 8 terms);
+    DuckDB reproduces the fold verbatim. Docs shorter than n fold
+    their whole token array ((acc·m + h) mod p, init 0 — equal to
+    DuckDB's list_reduce first-element init because the halves are
+    < 2³⁰ < p)."""
+    from ..functions.hashing import h60
+    mask = (1 << 30) - 1
+    toks = docs.select(F.col(doc_col).alias("doc_id"),
+                       tokens(F.col(text_col)).alias("t"))
+    toks = toks.filter(F.size("t") > 0)
+    hh = toks.select("doc_id", F.transform("t", h60).alias("hh"))
+    ab = hh.select(
+        "doc_id",
+        F.transform("hh", lambda x: F.shiftright(x, 30)).alias("a"),
+        F.transform("hh",
+                    lambda x: x.bitwiseAND(F.lit(mask))).alias("b"))
+    p = F.lit(MERSENNE31)
+    c3 = [3 ** (n - 1 - j) for j in range(n)]
+    c5 = [5 ** (n - 1 - j) for j in range(n)]
+
+    def win(i):
+        s1 = sum((F.element_at(F.col("a"), i + j + 1) * F.lit(c)
+                  for j, c in list(enumerate(c3))[1:]),
+                 F.element_at(F.col("a"), i + 1) * F.lit(c3[0])) % p
+        s2 = sum((F.element_at(F.col("b"), i + j + 1) * F.lit(c)
+                  for j, c in list(enumerate(c5))[1:]),
+                 F.element_at(F.col("b"), i + 1) * F.lit(c5[0])) % p
+        return s1 * F.lit(1 << 31) + s2
+
+    short = (F.aggregate(F.col("a"), F.lit(0).cast("long"),
+                         lambda acc, x: (acc * 3 + x) % p)
+             * F.lit(1 << 31)
+             + F.aggregate(F.col("b"), F.lit(0).cast("long"),
+                           lambda acc, x: (acc * 5 + x) % p))
+    ws = (F.when(F.size("a") < n, F.array(short))
+          .otherwise(F.transform(F.sequence(F.lit(0), F.size("a") - n),
+                                 win)))
+    return ab.select("doc_id",
+                     F.explode(F.array_distinct(ws)).alias("__h"))
 
 
 def decontaminate(docs: DataFrame, bench: DataFrame,
@@ -45,61 +96,37 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
 
     bench: (any id col, text) — held-out eval prompts/answers.
 
-    broadcast_bench=True (default — suites are tiny vs the corpus):
-    the benchmark's distinct n-grams are BROADCAST, so the plan is:
-    corpus explode → map-side broadcast LEFT join → one groupBy(doc_id)
-    computing hits and sizes together → filter(n_hits > 0). The corpus
-    text never shuffles. Every doc's n-grams DO flow through the
-    aggregation (zero-overlap docs are filtered after it, not before)
-    — that is deliberate: map-side partial aggregation makes the pass
-    cheap, and splitting hits/sizes measured 7 exchanges vs 3.
+    The n-gram identity is a 62-BIT ROLLING HASH over per-token h60
+    hashes (see _ngram_hash62), not the n-gram string: one md5 per
+    TOKEN instead of per window, no window-string concat (profiled
+    ~2× cheaper per corpus pass at 1M docs), 8-byte join keys, and the
+    DuckDB oracle mirrors the fold bit-for-bit. False hits need a
+    62-bit collision between a doc n-gram and a bench n-gram it
+    doesn't equal: expected count ≈ |doc n-grams|·|bench n-grams|/2⁶²
+    (≈10⁻⁵ at 10⁸×10⁵ — disclosed, not hidden).
 
-    broadcast_bench=False — the scale path for benchmark sets past
-    broadcast size (e.g. decontaminating against a whole other
-    CORPUS): inner SHUFFLE join on the n-grams finds the hits, and
-    the per-doc size aggregation runs only over semi-joined
-    (contaminated) docs, so the second corpus pass touches the ~0.1%
-    of docs with any overlap instead of everything. The join key is
-    h60(shingle), not the shingle string — an 8-gram string is ~50
-    bytes and the corpus side of this exchange is the whole corpus's
-    n-grams, so hashing cuts the shuffle volume ~6×. False hits need
-    an h60 collision between a doc n-gram and a bench n-gram it
-    doesn't equal: expected count ≈ |doc n-grams|·|bench n-grams|/2⁶⁰
-    (≈3·10⁻⁵ at 10⁸×10⁵ — disclosed, not hidden). Equality with the
-    broadcast plan is pytest-pinned.
+    Both plans are the same single pass: n-gram hashes → LEFT join to
+    the bench set → ONE groupBy(doc_id) computing hits and sizes
+    together → filter(n_hits > 0). Splitting hits/sizes into separate
+    aggregations measured 2× the hash cost (each aggregation
+    recomputed the projection) and 7 exchanges vs 3.
+
+    broadcast_bench=True (default — suites are tiny vs the corpus)
+    broadcasts the bench hash set, so the corpus never shuffles at
+    all; =False is the scale path for benchmark sets past broadcast
+    size (e.g. decontaminating against a whole other CORPUS): a
+    shuffle join on the 8-byte hash keys, map-side partial
+    aggregation collapsing to ~1 row/doc before the groupBy exchange.
+    Equality between the plans is pytest-pinned.
 
     contamination = fraction of the doc's distinct n-grams that appear
     in the benchmark (1.0 ⟺ the doc is a sub/superset of bench text at
     n-gram granularity)."""
-    bench_ngrams = (shingles(bench, n, bench.columns[0], text_col)
-                    .select("shingle").distinct()
-                    .withColumn("_hit", F.lit(1)))
-    doc_ngrams = shingles(docs, n, doc_col, text_col)
-    if not broadcast_bench:
-        # same single-pass shape as the broadcast plan (left join +
-        # ONE groupBy computing hits and sizes together) with a
-        # shuffle join on h60 keys: the corpus n-grams are hashed and
-        # exchanged exactly ONCE (a separate hits/sizes pair measured
-        # 2× the md5 cost — each aggregation recomputed the shingle
-        # projection), and the post-join groupBy collapses map-side
-        # to ~1 row per doc before its exchange
-        from ..functions.hashing import h60
-        dh = doc_ngrams.select("doc_id", h60(F.col("shingle")).alias("__h"))
-        bh = (bench_ngrams.select(h60(F.col("shingle")).alias("__h"))
-              .distinct().withColumn("_hit", F.lit(1)))
-        flagged = dh.join(bh, "__h", "left")
-        return (flagged.groupBy("doc_id")
-                .agg(F.count("_hit").alias("n_hits"),
-                     F.count(F.lit(1)).alias("n_ngrams"))
-                .filter(F.col("n_hits") > 0)
-                .select("doc_id", "n_hits", "n_ngrams",
-                        (F.col("n_hits") / F.col("n_ngrams"))
-                        .alias("contamination")))
-    # LEFT broadcast join + ONE groupBy computes both counts in a
-    # single aggregation pass (a separate sizes/hits pair costs two
-    # aggregations plus a doc_id join — 7 exchanges vs 3 measured)
-    flagged = doc_ngrams.join(F.broadcast(bench_ngrams), "shingle",
-                              "left")
+    dh = _ngram_hash62(docs, n, doc_col, text_col)
+    bh = (_ngram_hash62(bench, n, bench.columns[0], text_col)
+          .select("__h").distinct().withColumn("_hit", F.lit(1)))
+    flagged = dh.join(F.broadcast(bh) if broadcast_bench else bh,
+                      "__h", "left")
     return (flagged.groupBy("doc_id")
             .agg(F.count("_hit").alias("n_hits"),
                  F.count(F.lit(1)).alias("n_ngrams"))
@@ -221,6 +248,71 @@ def sessionize(events: DataFrame, gap_minutes: int = 240,
                  F.round(F.sum("value"), 4).alias("total_value"),
                  F.date_format(F.min(ts_col), fmt).alias("session_start"),
                  F.date_format(F.max(ts_col), fmt).alias("session_end")))
+
+
+def sessionize_salted(events: DataFrame, gap_minutes: int = 240,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      bucket_days: int = 7) -> DataFrame:
+    """sessionize() with the per-user whale bound removed: the plain
+    operator puts a user's WHOLE history in one task (a bot with 10⁹
+    events OOMs it). Here events are windowed by (user, time bucket)
+    — each task holds at most one user-bucket (≤ bucket_days of one
+    user's events) — then a second, SESSION-level pass chain-merges
+    sessions whose inter-session gap is ≤ gap_minutes (only possible
+    across bucket boundaries; within a bucket the window already
+    split on gap).
+
+    The second pass shuffles SESSIONS, not events: a user produces at
+    most history_span/gap sessions (~3/day at a 4 h gap — thousands
+    per user-year), so the whale bound moves from "one user's events
+    fit one task" to "one user's session LIST fits one task" — the
+    standard split-apply-merge trade. Result
+    equality with sessionize() is pytest-pinned
+    (test_pipeline::test_sessionize_salted_equals_plain), including
+    sessions spanning several empty buckets.
+
+    session_idx is renumbered per user by session_start (the plain
+    operator's ordering), so the output is column-identical."""
+    from pyspark.sql import Window
+    gap = F.lit(gap_minutes * 60)
+    bucket_s = bucket_days * 86400
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    ev = events.withColumn("_b", F.floor(epoch / F.lit(bucket_s)))
+    w = Window.partitionBy(user_col, "_b").orderBy(ts_col)
+    new_sess = F.when(
+        epoch - F.lag(epoch).over(w) > gap, 1).otherwise(0)
+    marked = ev.withColumn("_new", new_sess).withColumn(
+        "_sidx", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_bucket = (marked.groupBy(F.col(user_col).alias("user_id"),
+                                 "_b", "_sidx")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.sum("value").alias("_value"),
+                       F.min(epoch).alias("_start"),
+                       F.max(epoch).alias("_end"),
+                       F.min(ts_col).alias("_start_ts"),
+                       F.max(ts_col).alias("_end_ts")))
+    # chain-merge: a session merges with its predecessor (in
+    # session-start order per user) when the inter-session gap is
+    # within gap_minutes — only possible across bucket boundaries
+    # (within a bucket the window already split on gap), so this
+    # window runs over SESSIONS (bounded per user), not events
+    wu = Window.partitionBy("user_id").orderBy("_start")
+    brk = F.when(
+        F.col("_start") - F.lag("_end").over(wu) > gap, 1).otherwise(0)
+    merged = (per_bucket.withColumn("_brk", brk)
+              .withColumn("session_idx",
+                          (F.sum("_brk").over(
+                              wu.rowsBetween(Window.unboundedPreceding,
+                                             0)) + 1).cast("long")))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (merged.groupBy("user_id", "session_idx")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.round(F.sum("_value"), 4).alias("total_value"),
+                 F.date_format(F.min("_start_ts"), fmt)
+                 .alias("session_start"),
+                 F.date_format(F.max("_end_ts"), fmt)
+                 .alias("session_end")))
 
 
 def pii_redact(docs: DataFrame, doc_col: str = "doc_id",

@@ -134,14 +134,24 @@ def test_minhash_signatures_plan_has_no_exchange(spark, boiler_docs):
     assert "Exchange" not in plan
     assert plan.lower().count("md5") == 1
     # and the values still match the grouped (shuffling) formulation
+    # of the SAME window-hash family: explode the per-doc window
+    # hashes and aggregate the m permutation mins the round-2 way
     from pyspark.sql import functions as F
 
-    from search_engine_skillbox_spark.functions.hashing import h32
-    sh = D.shingles(boiler_docs, 3)
-    base = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
+    from search_engine_skillbox_spark.functions.hashing import h60
+    M = D.MERSENNE31
+    toks = (boiler_docs.select("doc_id",
+                               D.tokens(F.col("text")).alias("t"))
+            .filter(F.size("t") > 0))
+    th = toks.select(
+        "doc_id",
+        F.transform("t", lambda x: h60(x) % F.lit(M)).alias("th"))
+    base = (th.select("doc_id",
+                      F.explode(D._window_hash(F.col("th"), 3))
+                      .alias("h")))
     grouped = base.groupBy("doc_id").agg(*[
         F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(1000003 * i))
-              % F.lit(D.MERSENNE31)).alias(f"mh_{i}") for i in range(16)])
+              % F.lit(M)).alias(f"mh_{i}") for i in range(16)])
     assert sig.exceptAll(grouped).count() == 0
     assert grouped.exceptAll(sig).count() == 0
 

@@ -374,3 +374,49 @@ def test_clean_stages_params_change_resume_identity():
             default_clean_stages(gopher_structural_only=True,
                                  decontam_broadcast=True)):
         assert variant.params_sig != base.params_sig
+
+
+def test_sessionize_salted_equals_plain(spark):
+    """VERDICT r6 #7: sessionize_salted (per-(user, time-bucket)
+    windows + session-level chain merge — the whale-user-safe shape)
+    must reproduce sessionize() exactly, including sessions that span
+    bucket boundaries and multi-bucket quiet stretches."""
+    import datetime as dt
+
+    from search_engine_skillbox_spark.operators.pipeline import (
+        sessionize, sessionize_salted)
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    # user 1: a session STRADDLING the 1-day bucket edge (events
+    # 23:50 and next-day 00:30 — gap 40 min < 240), plus a separate
+    # later session
+    for mins in (23 * 60 + 50, 24 * 60 + 30, 24 * 60 + 40,
+                 50 * 60, 50 * 60 + 10):
+        rows.append((1, base + dt.timedelta(minutes=mins), 1.5))
+    # user 2: one event per day for 5 days (each its own session;
+    # every one lands in a different bucket, all gaps > 240)
+    for d in range(5):
+        rows.append((2, base + dt.timedelta(days=d, hours=12), 2.0))
+    # user 3: two sessions, EACH straddling a midnight bucket edge
+    # (23:55→00:05 gaps of 10 min; ~24 h between the pairs)
+    for mins in (23 * 60 + 55, 24 * 60 + 5, 47 * 60 + 55, 48 * 60 + 5):
+        rows.append((3, base + dt.timedelta(minutes=mins), 0.25))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double")
+    want = {(r["user_id"], r["session_idx"]):
+            (r["n_events"], r["session_start"], r["session_end"],
+             r["total_value"])
+            for r in sessionize(ev).collect()}
+    got = {(r["user_id"], r["session_idx"]):
+           (r["n_events"], r["session_start"], r["session_end"],
+            r["total_value"])
+           for r in sessionize_salted(ev, bucket_days=1).collect()}
+    assert set(got) == set(want)
+    for k, (n, s, e, v) in want.items():
+        gn, gs, ge, gv = got[k]
+        assert (gn, gs, ge) == (n, s, e), k
+        assert abs(gv - v) < 1e-9, k  # float-sum association may differ
+    # user 3: exactly two straddling sessions of 2 events each (the
+    # bucket edge did NOT split them)
+    assert want[(3, 1)][0] == 2 and want[(3, 2)][0] == 2
+    assert (3, 3) not in want
