@@ -1321,6 +1321,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
 
 
+def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whale-bound-safe sessionizer (per-(user, time-bucket)
+    windows + session-level chain merge, operators/pipeline.
+    sessionize_salted) on the same events table — result-identical to
+    sessionize() by construction, so it shares the SAME SQL oracle:
+    the gate pins that the salted two-phase assembly reproduces the
+    single-window semantics on real data, not just the pytest
+    fixtures. bucket_days=1 forces many bucket boundaries at sf
+    scale (the corpus spans weeks), so boundary merging is actually
+    exercised."""
+    from .operators.pipeline import sessionize_salted
+    with _utc_analysis(spark):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return sessionize_salted(ev, gap_minutes=SESSION_GAP_MIN,
+                                 bucket_days=1)
+
+
 _SQL_SESSIONIZE = f"""
 WITH lagged AS (
   SELECT user_id, ts, value,
@@ -1461,6 +1478,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "sessionize_salted": q_sessionize_salted,
     "sessionize_stream": q_sessionize_stream,
     "gopher_quality": q_gopher_quality,
 }
@@ -1490,6 +1508,7 @@ ORACLES = {
     "pii_redact": _pii_sql(),
     "events_window": _SQL_EVENTS_WINDOW,
     "sessionize": _SQL_SESSIONIZE,
+    "sessionize_salted": _SQL_SESSIONIZE,
     # the stream gate compares against the SAME batch oracle — that IS
     # the stream ≡ batch claim
     "sessionize_stream": _SQL_SESSIONIZE,
