@@ -1167,11 +1167,22 @@ def q_clean_corpus_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     default_clean_stages factory), minus the parquet barriers the gate
     can't express. Stage outputs are persist()ed: three stages
     reference their input more than once and an unpersisted lazy chain
-    recomputes the whole upstream per reference."""
+    recomputes the whole upstream per reference.
+
+    Cache hygiene mirrors clean_corpus_fused's materialize-then-release
+    (VERDICT r7 #5): each stage is eagerly count()ed and its
+    predecessor unpersisted, so ONE cached frame (the returned result)
+    rides through the rest of the 36-query gate session instead of six
+    corpus-sized ones."""
     from .operators.pipeline import default_clean_stages
     df = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    prev = None
     for _name, fn in default_clean_stages(gopher_structural_only=True):
         df = fn(df).persist()
+        df.count()  # materialize so the predecessor's last consumer ran
+        if prev is not None:
+            prev.unpersist()
+        prev = df
     return df.select("doc_id", "lang", "text", "n_emails", "n_phones")
 
 

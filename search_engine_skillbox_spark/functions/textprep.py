@@ -154,8 +154,17 @@ def extract_text(html: pd.Series) -> pd.Series:
 
 def with_text(pages, html_col: str = "html", text_col: str = "text"):
     """Populate `text` from `html` where null (input tables may carry
-    pre-extracted text per BASELINE input_hint)."""
+    pre-extracted text per BASELINE input_hint).
+
+    The UDF input is NULL-MASKED for rows whose text is already
+    present: the ArrowEvalPython node is evaluated for every row
+    regardless (Catalyst hoists the UDF), but masked rows cross the
+    JVM→Python boundary as nulls instead of full HTML payloads — only
+    the bytes the function actually needs move (guide §4.1). For those
+    rows the UDF's "" result is discarded by the coalesce, so the
+    column value is unchanged."""
+    masked = F.when(F.col(text_col).isNull(), F.col(html_col))
     return pages.withColumn(
         text_col,
-        F.coalesce(F.col(text_col), extract_text(F.col(html_col))),
+        F.coalesce(F.col(text_col), extract_text(masked)),
     )

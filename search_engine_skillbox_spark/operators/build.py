@@ -54,9 +54,10 @@ def postings_flat(docs: DataFrame, doc_col: str = "doc_id",
 
 
 def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """(doc_id, term, tf, dl) in ONE Arrow pass — tokenize AND per-doc
-    tf aggregation inside the Python kernel (PY_TOKEN_SPLIT, the
+                        text_col: str = "text",
+                        host_col: str | None = None) -> DataFrame:
+    """(doc_id, term, tf, dl[, host]) in ONE Arrow pass — tokenize AND
+    per-doc tf aggregation inside the Python kernel (PY_TOKEN_SPLIT, the
     byte-identical twin of the JVM `\\P{L}+` tokenizer; twin equality is
     pinned by the streaming≡batch test and the index_block_roundtrip /
     search_wand_topk gate rows, which verify blocks built THROUGH this
@@ -69,6 +70,12 @@ def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
     doc-keyed doclens join that round 2 added to carry dl into every
     posting for join-free BM25 (dl now rides out of the same kernel).
     The logical/oracle path (postings_flat) stays JVM-side built-ins.
+
+    host_col: when set, the doc's host rides on every posting row the
+    same way dl does — the build's per-host statistics and the doclens
+    dimension then need NO doc-keyed join back to the corpus at all
+    (at 10^12 docs a doc→host map no longer broadcasts; one short
+    string per posting row in a cached, column-pruned frame does).
     """
     import pandas as pd
 
@@ -81,7 +88,10 @@ def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
             terms: list = []
             tfs: list = []
             dls: list = []
-            for doc_id, text in zip(pdf[doc_col], pdf[text_col]):
+            hosts: list = []
+            hseq = pdf[host_col] if host_col else None
+            for i, (doc_id, text) in enumerate(
+                    zip(pdf[doc_col], pdf[text_col])):
                 c = Counter(t for t in
                             PY_TOKEN_SPLIT.split((text or "").lower()) if t)
                 if not c:
@@ -91,14 +101,22 @@ def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
                 dls.extend([dl] * len(c))
                 terms.extend(c.keys())
                 tfs.extend(c.values())
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "term": pd.Series(terms, dtype="object"),
-                                "tf": pd.Series(tfs, dtype="int64"),
-                                "dl": pd.Series(dls, dtype="int64")})
+                if hseq is not None:
+                    hosts.extend([hseq.iloc[i]] * len(c))
+            out = {"doc_id": pd.Series(ids, dtype="int64"),
+                   "term": pd.Series(terms, dtype="object"),
+                   "tf": pd.Series(tfs, dtype="int64"),
+                   "dl": pd.Series(dls, dtype="int64")}
+            if host_col:
+                out["host"] = pd.Series(hosts, dtype="object")
+            yield pd.DataFrame(out)
 
-    return docs.select(F.col(doc_col).alias(doc_col),
-                       F.col(text_col).alias(text_col)).mapInPandas(
-        _gen, "doc_id long, term string, tf long, dl long")
+    cols = [F.col(doc_col).alias(doc_col), F.col(text_col).alias(text_col)]
+    schema = "doc_id long, term string, tf long, dl long"
+    if host_col:
+        cols.append(F.col(host_col).alias(host_col))
+        schema += ", host string"
+    return docs.select(*cols).mapInPandas(_gen, schema)
 
 
 def doc_lengths(docs: DataFrame, doc_col: str = "doc_id",

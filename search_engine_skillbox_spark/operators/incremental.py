@@ -137,7 +137,7 @@ def _step(lineage, build_id: str, pid: str, fn,
 
 def _doc_row(spark: SparkSession, store: IndexStore, doc_id: int):
     from ..functions.hashing import doc_bucket
-    db = doc_bucket(doc_id, store.n_buckets)
+    db = doc_bucket(doc_id, store.n_doc_buckets)
     rows = (store.docs(spark)
             .filter(F.col("doc_bucket") == db)  # partition pruning
             .filter(F.col("doc_id") == doc_id)
@@ -295,8 +295,8 @@ def _update_doc_tables(spark: SparkSession, store: IndexStore,
     derived from url_norm), so the doc's (host_bucket, doc_bucket) is
     stable across reindexes."""
     from ..functions.hashing import doc_bucket, term_bucket
-    db = doc_bucket(doc_id, store.n_buckets)
-    hb = term_bucket(host, store.n_buckets)  # pmod(xxhash64(host), n)
+    db = doc_bucket(doc_id, store.n_doc_buckets)
+    hb = term_bucket(host, store.n_host_buckets)  # pmod(xxhash64(host), n)
 
     docs_cur = (store.docs(spark)
                 .filter((F.col("host_bucket") == hb)
@@ -748,9 +748,9 @@ def _reindex_batch_body(spark: SparkSession, store: IndexStore,
     # so every rewritten partition keeps ≥ its non-batch rows — no
     # partition can end up empty-but-uncleared.
     doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
-                        F.lit(store.n_buckets)).cast("int")
+                        F.lit(store.n_doc_buckets)).cast("int")
     host_bucket = F.pmod(F.xxhash64(F.col("host")),
-                         F.lit(store.n_buckets)).cast("int")
+                         F.lit(store.n_host_buckets)).cast("int")
     new_rows = (prep.select("doc_id", "url", "url_norm", "host", "path",
                             "text", "lang", "warc_ts")
                 .withColumn("doc_bucket", doc_bucket)

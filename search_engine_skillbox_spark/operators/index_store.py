@@ -67,6 +67,29 @@ FORMAT_VERSION = 6
 TIER0_POSTINGS = 2048  # per-(term,salt) hot-tier size (≥ 16 blocks)
 
 
+def _adaptive_doc_buckets(n_docs: int) -> int:
+    """docs/doclens partition-dir count derived from corpus size
+    (guide: partitioning must be scale-adaptive, file sizes sensible).
+    Defaults keep ≥ ~25k docs per doc_bucket; both knobs are env-
+    parameterized for cluster deployments (more buckets = finer
+    point-read pruning and more write parallelism, at the cost of
+    directory count)."""
+    per = int(os.environ.get("SPARK_GRAFT_DOCS_PER_BUCKET", "12500"))
+    cap = int(os.environ.get("SPARK_GRAFT_MAX_DOC_BUCKETS", "1024"))
+    return max(1, min(cap, -(-n_docs // max(1, per))))
+
+
+def _adaptive_host_buckets(n_hosts: int) -> int:
+    """host_bucket dir count derived from DISTINCT HOST count: with few
+    hosts, dir-level host pruning buys nothing over the in-file
+    host-sorted row-group stats, so one dir level avoids n_buckets×
+    file multiplication; with many hosts (a real crawl), buckets come
+    back so a site query prunes to 1/n_host_buckets of docs/."""
+    per = int(os.environ.get("SPARK_GRAFT_HOSTS_PER_BUCKET", "1000"))
+    cap = int(os.environ.get("SPARK_GRAFT_MAX_HOST_BUCKETS", "256"))
+    return max(1, min(cap, -(-n_hosts // max(1, per))))
+
+
 def make_block_encoder(avgdl: float | None,
                        tier0: int = TIER0_POSTINGS):
     """mapInPandas encoder over (term, salt, doc_id, tf, dl) sorted
@@ -168,12 +191,23 @@ class IndexStore:
         self.path = path
         self.n_buckets = n_buckets
         self.salt_threshold = salt_threshold
+        # docs/doclens partition counts are SCALE-ADAPTIVE (derived from
+        # corpus size at build time, persisted in meta) rather than tied
+        # to the term-bucket count: a 20k-doc corpus gets 1 partition
+        # dir instead of n_buckets² tiny files, a 10^8-doc corpus gets
+        # more dirs than n_buckets. Fallback n_buckets = the historical
+        # layout, so stores built before round 8 read unchanged.
+        self.n_doc_buckets = n_buckets
+        self.n_host_buckets = n_buckets
         mpath = os.path.join(path, "meta.json")
         if os.path.exists(mpath):
             with open(mpath) as f:
                 m = json.load(f)
             self.n_buckets = int(m.get("n_buckets", n_buckets))
             self.salt_threshold = int(m.get("salt_threshold", salt_threshold))
+            self.n_doc_buckets = int(m.get("n_doc_buckets", self.n_buckets))
+            self.n_host_buckets = int(m.get("n_host_buckets",
+                                            self.n_buckets))
             fmt = int(m.get("format", 1))
             if fmt < FORMAT_VERSION:
                 # compact() is NOT a migration path: it opens the store
@@ -209,12 +243,20 @@ class IndexStore:
 
         if fused:
             from .build import postings_flat_fused
-            postings = postings_flat_fused(prepared).persist()
+            # host rides out of the kernel with dl: the doclens
+            # dimension and the per-host stats below then never join
+            # back to the corpus (two doc-keyed joins removed from the
+            # round-7 plan; the host column is projected away before
+            # the (term, salt) block exchange).
+            postings = postings_flat_fused(prepared,
+                                           host_col="host").persist()
         else:
             p = build_index_frames(prepared)[0]
             dls = p.groupBy("doc_id").agg(
                 F.sum("tf").cast("long").alias("dl"))
-            postings = p.join(dls, "doc_id").persist()
+            postings = (p.join(dls, "doc_id")
+                        .join(prepared.select("doc_id", "host"), "doc_id")
+                        .persist())
         bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets))
         # ONE terms aggregation carrying df+cf+max_tf together (round 1
         # ran a (df,cf) agg plus a separate max_tf agg plus a join — two
@@ -243,24 +285,34 @@ class IndexStore:
         t_mat = lineage.start(build_id, "materialize")
         n_terms_total = terms_full.count()  # also the dashboard lemma count
         lineage.done(build_id, "materialize", t_mat, rows=0, nbytes=0)
-        # dl already rides on every posting row — the doclens dimension
-        # is a cheap per-doc max over the cache (map-side combine; docs
-        # never span input partitions). Zero-term docs have no postings
-        # and BM25 never weights them. Materialized HERE (before the
-        # dims/blocks threads fork): concurrent readers of an
-        # unmaterialized persist compute it once each.
+        # dl and host already ride on every posting row — the doclens
+        # dimension is a cheap per-doc agg over the cache (map-side
+        # combine; docs never span input partitions), born WITH host so
+        # its parquet write needs no corpus join. Zero-term docs have no
+        # postings and BM25 never weights them. Materialized HERE
+        # (before the dims/blocks threads fork): concurrent readers of
+        # an unmaterialized persist compute it once each.
         doclens = postings.groupBy("doc_id").agg(
-            F.max("dl").cast("int").alias("dl")).persist()
-        # N / Σdl / avgdl pre-fork: doclens has one row per participating
-        # doc, so this is a doc-count-sized agg that also fills the
-        # doclens cache; avgdl is the impact basis the block encoder
-        # stamps into max_imp (BM25 block pruning).
-        g = doclens.agg(F.sum("dl").alias("s"),
-                        F.count(F.lit(1)).alias("n")).first()
-        sum_dl = int(g["s"] or 0)
-        n_docs_total = int(g["n"] or 0)
+            F.max("dl").cast("int").alias("dl"),
+            F.min("host").alias("host")).persist()
+        # ONE pre-fork job yields N / Σdl / avgdl AND the per-host doc
+        # counts (meta n_docs_by_host — host cardinality is bounded by
+        # the meta contract) while filling the doclens cache; avgdl is
+        # the impact basis the block encoder stamps into max_imp (BM25
+        # block pruning). Round 7 ran a global agg here plus a separate
+        # per-host countDistinct-over-postings job in the dims phase.
+        per_host_rows = (doclens.groupBy("host")
+                         .agg(F.count(F.lit(1)).alias("nd"),
+                              F.sum("dl").alias("s")).collect())
+        nd_by_host = {r["host"]: int(r["nd"]) for r in per_host_rows}
+        sum_dl = sum(int(r["s"] or 0) for r in per_host_rows)
+        n_docs_total = sum(nd_by_host.values())
         avgdl_build = (sum_dl / n_docs_total) if n_docs_total else 0.0
         encoder = make_block_encoder(avgdl_build)
+        # scale-adaptive docs/doclens layout (persisted in meta; every
+        # reader takes the counts from the store, not from n_buckets)
+        self.n_doc_buckets = _adaptive_doc_buckets(n_docs_total)
+        self.n_host_buckets = _adaptive_host_buckets(len(nd_by_host))
 
         # salted skew handling: few heavy terms → broadcast their salt
         # counts (the same n_salt the terms table persists)
@@ -294,28 +346,33 @@ class IndexStore:
             t0 = lineage.start(build_id, pid)
             try:
                 doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
-                                    F.lit(self.n_buckets)).cast("int")
+                                    F.lit(self.n_doc_buckets)).cast("int")
                 stats: dict = {}
 
                 def w_terms():
-                    (terms_full.write.mode("overwrite").partitionBy("bucket")
+                    # cluster by bucket before the partitioned write:
+                    # without it every agg task writes a file into every
+                    # bucket dir (tasks × n_buckets tiny files — 1024 at
+                    # the 20k-doc bench, ~4 ms commit each); one slim
+                    # vocab-sized exchange buys 1 file per bucket dir.
+                    (terms_full.repartition(self.n_buckets, F.col("bucket"))
+                     .write.mode("overwrite").partitionBy("bucket")
                      .parquet(os.path.join(self.path, "terms")))
 
                 def w_doclens():
-                    # host rides on every doclens row (format 6), and
-                    # files are doc_id-sorted with small row groups:
-                    # (doc_id → host, dl) is then a bounded point read
-                    # (partition-pruned on doc_bucket, row-group-pruned
-                    # on the doc_id min/max stats), which serving-tier
-                    # hydrate uses to find a top-k id's docs/ partition
-                    # without a corpus scan. The join is doc_id-keyed
-                    # over two SLIM projections — strictly smaller than
-                    # the full-text docs/ shuffle running concurrently
-                    # in this same dims phase.
-                    (doclens.join(prepared.select("doc_id", "host"),
-                                  "doc_id")
+                    # host rides on every doclens row (format 6) straight
+                    # from the fused kernel — the round-7 doc-keyed join
+                    # back to the corpus is gone from this plan. Files
+                    # are doc_id-sorted with small row groups: (doc_id →
+                    # host, dl) is then a bounded point read (partition-
+                    # pruned on doc_bucket, row-group-pruned on the
+                    # doc_id min/max stats), which serving-tier hydrate
+                    # uses to find a top-k id's docs/ partition without
+                    # a corpus scan. Writer parallelism = n_doc_buckets
+                    # (scale-adaptive): exactly one file per dir.
+                    (doclens.select("doc_id", "dl", "host")
                      .withColumn("doc_bucket", doc_bucket)
-                     .repartition(self.n_buckets, F.col("doc_bucket"))
+                     .repartition(self.n_doc_buckets, F.col("doc_bucket"))
                      .sortWithinPartitions("doc_bucket", "doc_id")
                      .write.mode("overwrite")
                      .option("parquet.block.size", 1024 * 1024)
@@ -325,46 +382,72 @@ class IndexStore:
                 def w_docs():
                     # TWO-level partitioning (host_bucket, doc_bucket):
                     # site-filtered queries prune the docs dimension to
-                    # the queried host's 1/n_buckets slice instead of
-                    # scanning the corpus-sized (doc_id, host) projection
-                    # — the physical realization of SURVEY §2.2 T9's
+                    # the queried host's slice instead of scanning the
+                    # corpus-sized (doc_id, host) projection — the
+                    # physical realization of SURVEY §2.2 T9's
                     # partition-pruning mapping. Point lookups still
-                    # prune on doc_bucket (second level).
-                    host_bucket = F.pmod(F.xxhash64(F.col("host")),
-                                         F.lit(self.n_buckets)).cast("int")
-                    (prepared.select("doc_id", "url", "url_norm", "host",
-                                     "path", "text", "lang", "warc_ts")
-                     .withColumn("doc_bucket", doc_bucket)
-                     .withColumn("host_bucket", host_bucket)
-                     .repartition(self.n_buckets, F.col("doc_bucket"))
-                     # host-sorted within each file: a single-host read
-                     # (site queries) prunes to the host's row groups
-                     # via parquet min/max stats inside the already
-                     # partition-pruned host_bucket slice
-                     .sortWithinPartitions("host_bucket", "doc_bucket",
-                                           "host", "doc_id")
+                    # prune on doc_bucket (second level). Both counts
+                    # are scale-adaptive (persisted in meta), so a
+                    # bench-sized corpus writes a handful of files
+                    # instead of n_buckets² tiny ones.
+                    host_bucket = F.pmod(
+                        F.xxhash64(F.col("host")),
+                        F.lit(self.n_host_buckets)).cast("int")
+                    base = (prepared.select("doc_id", "url", "url_norm",
+                                            "host", "path", "text", "lang",
+                                            "warc_ts")
+                            .withColumn("doc_bucket", doc_bucket)
+                            .withColumn("host_bucket", host_bucket))
+                    # ONE clustering exchange sized by the corpus, not
+                    # by a constant: write-task count tracks n_docs
+                    # (capped by shuffle_parts — the cluster-level
+                    # parallelism knob), and the key is the partition-
+                    # dir pair plus a doc-hash subsplit so tasks stay
+                    # balanced when dirs < tasks (guide §2.5: enough
+                    # distinct key values). Result: ~2 files per dir
+                    # at any scale instead of tasks × dirs.
+                    n_dirs = self.n_host_buckets * self.n_doc_buckets
+                    per_task = int(os.environ.get(
+                        "SPARK_GRAFT_DOCS_PER_WRITE_TASK", "12500"))
+                    w_tasks = max(1, min(shuffle_parts,
+                                         -(-n_docs_total // per_task)))
+                    sub = max(1, -(-2 * w_tasks // n_dirs))
+                    base = base.repartition(
+                        w_tasks, F.col("host_bucket"), F.col("doc_bucket"),
+                        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(sub)))
+                    # host-sorted within each file: a single-host read
+                    # (site queries) prunes to the host's row groups
+                    # via parquet min/max stats inside the already
+                    # partition-pruned host_bucket slice. Small row
+                    # groups (like doclens) keep the serving tier's
+                    # hydrate a true point read: the doc_id PROBE
+                    # touches slim columns only and the text pages
+                    # decompress per ~row group of a few hundred docs,
+                    # not per multi-MB default row group.
+                    (base.sortWithinPartitions("host_bucket", "doc_bucket",
+                                               "host", "doc_id")
                      .write.mode("overwrite")
+                     .option("parquet.block.size", 256 * 1024)
                      .partitionBy("host_bucket", "doc_bucket")
                      .parquet(os.path.join(self.path, "docs")))
 
                 def agg_host():
-                    # BROADCAST the (doc_id → host) projection: the join
-                    # then shuffles nothing (round 1 shuffled the full
-                    # postings set — the dims-phase long pole at 4M), and
-                    # the countDistincts partial-dedup map-side to
-                    # |hosts|·|vocab| rows. At 10^12 docs a doc→host map
-                    # no longer broadcasts — carry host through the
-                    # postings shuffle (one extra column) instead.
-
-                    rows = (postings
-                            .join(F.broadcast(
-                                prepared.select("doc_id", "host")), "doc_id")
-                            .groupBy("host")
-                            .agg(F.countDistinct("doc_id").alias("nd"),
-                                 F.countDistinct("term").alias("nt"))
+                    # per-host doc counts came out of the pre-fork
+                    # doclens agg (nd_by_host); only the per-host
+                    # DISTINCT-TERM count still touches the postings,
+                    # and host now rides on every posting row (fused
+                    # kernel) — no doc-keyed join, and a SINGLE distinct
+                    # aggregate, so Catalyst plans partial (host, term)
+                    # dedup map-side with no Expand duplication (the
+                    # round-7 two-distinct agg doubled every posting row
+                    # before its exchange).
+                    rows = (postings.groupBy("host")
+                            .agg(F.countDistinct("term").alias("nt"))
                             .collect())
-                    stats["per_host"] = {r["host"]: r["nd"] for r in rows}
-                    stats["terms_by_host"] = {r["host"]: r["nt"] for r in rows}
+                    stats["terms_by_host"] = {r["host"]: r["nt"]
+                                              for r in rows}
+
+                def agg_pages():
                     # ALL saved pages per host (dashboard "pages" — the
                     # reference counts pageRepository rows, which include
                     # zero-term docs that never enter the index)
@@ -372,10 +455,12 @@ class IndexStore:
                     stats["pages_per_host"] = {r["host"]: r["count"]
                                                for r in prows}
 
+                stats["per_host"] = dict(nd_by_host)
                 from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(4) as pool:
+                with ThreadPoolExecutor(5) as pool:
                     futs = [pool.submit(f) for f in
-                            (w_terms, w_doclens, w_docs, agg_host)]
+                            (w_terms, w_doclens, w_docs, agg_host,
+                             agg_pages)]
                     for f in futs:
                         f.result()
 
@@ -391,6 +476,8 @@ class IndexStore:
                         # (wand block pruning) when avgdl drifts upward
                         "min_imp_basis": float(avgdl_build),
                         "n_buckets": self.n_buckets,
+                        "n_doc_buckets": self.n_doc_buckets,
+                        "n_host_buckets": self.n_host_buckets,
                         "salt_threshold": self.salt_threshold,
                         "format": FORMAT_VERSION,
                         "build_id": build_id}
@@ -406,21 +493,53 @@ class IndexStore:
         dims_pool = _TPE(1)
         dims_fut = dims_pool.submit(run_dims)
 
+        def encode_pipeline(src: DataFrame) -> DataFrame:
+            return (src
+                    .repartition(shuffle_parts, "term", "salt")
+                    .sortWithinPartitions("term", "salt", "doc_id")
+                    .mapInPandas(encoder, BLOCKS_SCHEMA)
+                    .withColumn("gen", F.lit(0))
+                    .withColumn(
+                        "bucket",
+                        F.pmod(F.xxhash64(F.col("term")),
+                               F.lit(self.n_buckets)).cast("int")))
+
+        # SMALL builds (bench/gate scale): the per-group exchange +
+        # sort + Python encode stage is pure fixed cost repeated
+        # checkpoint_groups times over a few hundred thousand rows —
+        # encode ONCE over every not-yet-done bucket into a persisted
+        # frame, then each group writes its slice from the cache. Group
+        # atomicity is untouched (same per-group writes + lineage rows;
+        # a crash still leaves a resumable subset). LARGE builds keep
+        # the per-group streaming pipelines: persisting the whole
+        # encoded index before writing would double its memory/disk
+        # traffic, and at that scale the per-group fixed cost is noise
+        # (the 8M/16M scaling evidence rides the streaming path).
+        small_docs = int(os.environ.get(
+            "SPARK_GRAFT_SHARED_ENCODE_MAX_DOCS", "2000000"))
+        undone_buckets = [b for gi, bs in enumerate(groups)
+                          if f"blocks-g{gi}" not in done for b in bs]
+        encoded_all: DataFrame | None = None
+        if len(groups) > 1 and undone_buckets \
+                and n_docs_total <= small_docs:
+            encoded_all = encode_pipeline(
+                salted.filter(F.col("bucket").isin(undone_buckets))
+            ).persist()
+            # materialize BEFORE the group threads fork — concurrent
+            # readers of an unmaterialized persist compute it once each
+            encoded_all.count()
+
         def run_group(gi: int, buckets: list[int]) -> None:
             pid = f"blocks-g{gi}"
             if pid in done:
                 return
             t0 = lineage.start(build_id, pid)
             try:
-                part = (salted.filter(F.col("bucket").isin(buckets))
-                        .repartition(shuffle_parts, "term", "salt")
-                        .sortWithinPartitions("term", "salt", "doc_id")
-                        .mapInPandas(encoder, BLOCKS_SCHEMA)
-                        .withColumn("gen", F.lit(0))
-                        .withColumn(
-                            "bucket",
-                            F.pmod(F.xxhash64(F.col("term")),
-                                   F.lit(self.n_buckets)).cast("int")))
+                if encoded_all is not None:
+                    part = encoded_all.filter(F.col("bucket").isin(buckets))
+                else:
+                    part = encode_pipeline(
+                        salted.filter(F.col("bucket").isin(buckets)))
                 target = os.path.join(self.path, "blocks")
                 # coalesce encoded (small, compressed) rows to one task
                 # per bucket: 32 output files instead of tasks×buckets,
@@ -486,6 +605,8 @@ class IndexStore:
                     raise
             dims_pool.shutdown()
 
+        if encoded_all is not None:
+            encoded_all.unpersist()
         postings.unpersist()
         terms_full.unpersist()
         doclens.unpersist()

@@ -154,7 +154,7 @@ def search_service(spark: SparkSession, store: IndexStore, query: str,
         # driver-side, so even the Spark plan never scans more than the
         # k ids' doc-bucket slices (the round-4 unpruned-scan `weak`)
         from ..functions.hashing import doc_bucket as _dbf
-        dbs = sorted({_dbf(int(d), store.n_buckets) for d in ids})
+        dbs = sorted({_dbf(int(d), store.n_doc_buckets) for d in ids})
         iddf = F.broadcast(
             spark.createDataFrame([(i,) for i in ids], "doc_id long"))
         hyd = (store.docs(spark)

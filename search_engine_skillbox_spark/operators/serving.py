@@ -568,7 +568,7 @@ def _host_doc_ids(store: IndexStore, host: str):
         # wholesale reset (META_MEMO policy): entries are arrays up to
         # SITE_SLICE_CAP int64 each, so the bound is on total elements
         cache.clear()
-    hb = term_bucket(host, store.n_buckets)
+    hb = term_bucket(host, store.n_host_buckets)
     base = os.path.join(store.path, "docs", f"host_bucket={hb}")
     from .index_store import walk_parquet_files
     pfs = []
@@ -1021,7 +1021,7 @@ def _hosts_for_ids(store: IndexStore, doc_ids: list[int]):
     from ..functions.hashing import doc_bucket as _db
     by_db: dict[int, list[int]] = {}
     for d in doc_ids:
-        by_db.setdefault(_db(int(d), store.n_buckets), []).append(int(d))
+        by_db.setdefault(_db(int(d), store.n_doc_buckets), []).append(int(d))
     out: dict[int, str] = {}
     budget = HYDRATE_ROWS_CAP
     for db, ids in by_db.items():
@@ -1088,38 +1088,48 @@ def serve_doc_rows(store: IndexStore, doc_ids: list[int]):
             return None
         by_part: dict[tuple[int, int], list[int]] = {}
         for d, h in hosts.items():
-            key = (_tbf(h, store.n_buckets), _dbf(d, store.n_buckets))
+            key = (_tbf(h, store.n_host_buckets), _dbf(d, store.n_doc_buckets))
             by_part.setdefault(key, []).append(d)
         out: dict[int, dict] = {}
         budget = HYDRATE_ROWS_CAP
         cols = ["doc_id", "url_norm", "host", "path", "text"]
         for (hb, db), ids in by_part.items():
             want = np.sort(np.array(ids, np.int64))
-            want_hosts = {hosts[i] for i in ids}
             for pf in _dir_files(
                     store, f"docs/host_bucket={hb}/doc_bucket={db}"):
                 md = pf.metadata
-                names = [md.schema.column(i).name
-                         for i in range(md.num_columns)]
-                dcol, hcol = names.index("doc_id"), names.index("host")
-                for rg in range(md.num_row_groups):
-                    hst = md.row_group(rg).column(hcol).statistics
-                    if (hst is not None and hst.has_min_max
-                            and not any(hst.min <= h <= hst.max
-                                        for h in want_hosts)):
-                        continue  # host-sorted files: skip other hosts
-                    budget -= md.row_group(rg).num_rows
-                    if budget < 0:
-                        return None
-                    # slim doc_id probe first; text pages are only
-                    # decompressed for row groups with an actual hit
-                    got = (_read_rg(pf, rg, ["doc_id"])
-                           .column("doc_id")
-                           .to_numpy(zero_copy_only=False))
-                    keep = np.flatnonzero(_sorted_membership(want, got))
-                    if keep.size == 0:
-                        continue
-                    tbl = _read_rg(pf, rg, cols).take(keep)
+                # BATCHED probe: ONE slim doc_id-column read for the
+                # whole file (every row group in a single pyarrow call)
+                # instead of a per-row-group read — read_row_group has
+                # a ~ms fixed cost, and a hydrate over a k-id page was
+                # paying it dozens of times (measured: 38 calls, 122 ms
+                # of a 140 ms request). Text pages still decompress
+                # only for row groups with an actual hit.
+                budget -= md.num_rows
+                if budget < 0:
+                    return None
+                lk = getattr(pf, "_sx_lock", None)
+                if lk is None:
+                    probe = pf.read(columns=["doc_id"])
+                else:
+                    with lk:
+                        probe = pf.read(columns=["doc_id"])
+                got = probe.column("doc_id").to_numpy(
+                    zero_copy_only=False)
+                keep = np.flatnonzero(_sorted_membership(want, got))
+                if keep.size == 0:
+                    continue
+                # map hit row indices → their row groups; fetch full
+                # columns per hit group only
+                bounds = np.cumsum([md.row_group(i).num_rows
+                                    for i in range(md.num_row_groups)])
+                by_rg: dict[int, list[int]] = {}
+                for ridx in keep:
+                    rg = int(np.searchsorted(bounds, ridx, "right"))
+                    local = int(ridx - (bounds[rg - 1] if rg else 0))
+                    by_rg.setdefault(rg, []).append(local)
+                for rg, locals_ in by_rg.items():
+                    tbl = _read_rg(pf, rg, cols).take(locals_)
                     for j in range(tbl.num_rows):
                         r = {c: tbl.column(c)[j].as_py() for c in cols}
                         out[int(r["doc_id"])] = r

@@ -100,7 +100,7 @@ def test_serve_match_count_matches_spark(spark, store, qterms):
             .distinct().count())
     assert got == want > 0
     host = "alpha.test"
-    hb = term_bucket(host, store.n_buckets)
+    hb = term_bucket(host, store.n_host_buckets)
     dhost = (store.docs(spark).filter(F.col("host_bucket") == hb)
              .filter(F.col("host") == host).select("doc_id"))
     want_site = (live_docids(spark, store,
@@ -299,7 +299,7 @@ def test_site_match_count_distributed_matches_naive(spark, store, qterms):
     from search_engine_skillbox_spark.operators.wand import (
         live_docids, site_match_count)
     host = "alpha.test"
-    hb = term_bucket(host, store.n_buckets)
+    hb = term_bucket(host, store.n_host_buckets)
     dhost = (store.docs(spark).filter(F.col("host_bucket") == hb)
              .filter(F.col("host") == host).select("doc_id"))
     want = (live_docids(spark, store, store.query_blocks(spark, qterms))
@@ -321,7 +321,7 @@ def test_site_heavy_semijoin_plans_hash_join(spark, store, qterms):
     from search_engine_skillbox_spark.functions.hashing import term_bucket
     from search_engine_skillbox_spark.operators.wand import _site_candidates
     host = "alpha.test"
-    hb = term_bucket(host, store.n_buckets)
+    hb = term_bucket(host, store.n_host_buckets)
     dhost = (store.docs(spark).filter(F.col("host_bucket") == hb)
              .filter(F.col("host") == host).select("doc_id"))
     trows = store.query_terms_rows(spark, qterms)
@@ -377,7 +377,7 @@ def test_staging_files_never_served(spark, mk_store):
     # plant staging garbage in terms/ (a bucket partition) and in a
     # doclens partition that one of the ids actually resolves through
     from search_engine_skillbox_spark.functions.hashing import doc_bucket
-    db = doc_bucket(int(ids[0]), st.n_buckets)
+    db = doc_bucket(int(ids[0]), st.n_doc_buckets)
     junk = pa.table({"doc_id": pa.array([ids[0]], pa.int64()),
                      "dl": pa.array([10**6], pa.int32()),
                      "host": pa.array(["evil.test"])})
