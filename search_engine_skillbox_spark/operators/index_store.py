@@ -283,7 +283,13 @@ class IndexStore:
         # so all three caches fill in the same pass. Lineage-timed so the
         # scaling report can decompose the serial tail per phase.
         t_mat = lineage.start(build_id, "materialize")
-        n_terms_total = terms_full.count()  # also the dashboard lemma count
+        # one agg fills the cache AND yields the dashboard lemma count
+        # plus the max df — the latter decides below whether any term
+        # needs salting at all
+        _mrow = terms_full.agg(F.count(F.lit(1)).alias("n"),
+                               F.max("df").alias("mdf")).first()
+        n_terms_total = int(_mrow["n"])
+        max_df = int(_mrow["mdf"] or 0)
         lineage.done(build_id, "materialize", t_mat, rows=0, nbytes=0)
         # dl and host already ride on every posting row — the doclens
         # dimension is a cheap per-doc agg over the cache (map-side
@@ -315,19 +321,35 @@ class IndexStore:
         self.n_host_buckets = _adaptive_host_buckets(len(nd_by_host))
 
         # salted skew handling: few heavy terms → broadcast their salt
-        # counts (the same n_salt the terms table persists)
-        heavy = terms_full.filter(F.col("n_salt") > 1).select("term", "n_salt")
-        # dl is already ON the postings (fused kernel) — no doc-keyed
-        # shuffle join needed to store it per posting; the encoder input
-        # goes straight to the single (term, salt) exchange.
-        salted = (postings.join(F.broadcast(heavy), "term", "left")
-                  .withColumn(
-                      "salt",
-                      F.when(F.col("n_salt").isNull(), F.lit(0)).otherwise(
-                          F.pmod(F.xxhash64(F.col("doc_id")),
-                                 F.col("n_salt")).cast("int")))
-                  .withColumn("bucket", bucket.cast("int"))
-                  .select("term", "salt", "doc_id", "tf", "dl", "bucket"))
+        # counts (the same n_salt the terms table persists). When NO
+        # term crosses the threshold (known from max_df, free with the
+        # materialize agg) the broadcast-join is skipped outright —
+        # every salt is 0 by construction, so bench/gate-scale builds
+        # drop a broadcast build + join from every encode plan while
+        # the skewed-corpus plan is untouched.
+        if max_df > self.salt_threshold:
+            heavy = terms_full.filter(F.col("n_salt") > 1) \
+                .select("term", "n_salt")
+            # dl is already ON the postings (fused kernel) — no
+            # doc-keyed shuffle join needed to store it per posting;
+            # the encoder input goes straight to the single
+            # (term, salt) exchange.
+            salted = (postings.join(F.broadcast(heavy), "term", "left")
+                      .withColumn(
+                          "salt",
+                          F.when(F.col("n_salt").isNull(),
+                                 F.lit(0)).otherwise(
+                              F.pmod(F.xxhash64(F.col("doc_id")),
+                                     F.col("n_salt")).cast("int")))
+                      .withColumn("bucket", bucket.cast("int"))
+                      .select("term", "salt", "doc_id", "tf", "dl",
+                              "bucket"))
+        else:
+            salted = (postings
+                      .withColumn("salt", F.lit(0).cast("int"))
+                      .withColumn("bucket", bucket.cast("int"))
+                      .select("term", "salt", "doc_id", "tf", "dl",
+                              "bucket"))
 
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         per_group = math.ceil(self.n_buckets / checkpoint_groups)

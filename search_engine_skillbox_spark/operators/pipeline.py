@@ -315,24 +315,43 @@ def sessionize_salted(events: DataFrame, gap_minutes: int = 240,
                  .alias("session_end")))
 
 
+def _marker_count(before, after, marker: str):
+    """Number of `marker` substrings regexp_replace ADDED turning
+    `before` into `after` — the literal-delta equivalent of
+    regexp_count(before, RE): the replace engine makes exactly one
+    insertion per non-overlapping match (same match walk as
+    regexp_count), pre-existing markers in the input cancel in the
+    difference, and neither PII regex can match '[' or ']' so a
+    replacement never creates or consumes someone else's marker.
+    Cost: pure literal string ops (replace + length), no regex — this
+    halves the redact stage's java.util.regex passes from 4 to 2,
+    which was its dominant kernel at 4M docs (VERDICT r7 #4)."""
+    def lit_count(col):
+        return (F.length(col)
+                - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+    return ((lit_count(after) - lit_count(before))
+            / F.lit(len(marker))).cast("long")
+
+
 def pii_redact(docs: DataFrame, doc_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """(doc_id, clean_text, n_emails, n_phones): emails → [EMAIL],
     phone-like digit runs → [PHONE], with per-doc match counts for
-    scrub-rate monitoring. Pure column expressions (regexp_count +
-    regexp_replace), codegen'd — the 100 TB shape is a projection, no
-    shuffle, no Python. Emails are counted and replaced BEFORE phones
-    so a digit-bearing local-part is not double-counted."""
+    scrub-rate monitoring. Pure column expressions, codegen'd — the
+    100 TB shape is a projection, no shuffle, no Python. Emails are
+    counted and replaced BEFORE phones so a digit-bearing local-part
+    is not double-counted. Counts are derived from the marker deltas
+    (_marker_count) so each PII regex runs ONCE (the replace), not
+    twice (count + replace) — bit-identical to regexp_count, pinned by
+    the pii_redact oracle row."""
     c = F.col(text_col)
-    n_emails = F.regexp_count(c, F.lit(EMAIL_RE))
     no_email = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
-    n_phones = F.regexp_count(no_email, F.lit(PHONE_RE))
     clean = F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
     return docs.select(
         F.col(doc_col).alias("doc_id"),
         clean.alias("clean_text"),
-        n_emails.cast("long").alias("n_emails"),
-        n_phones.cast("long").alias("n_phones"))
+        _marker_count(c, no_email, "[EMAIL]").alias("n_emails"),
+        _marker_count(no_email, clean, "[PHONE]").alias("n_phones"))
 
 
 # ---------------------------------------------------------------------------
@@ -424,16 +443,17 @@ def default_clean_stages(*, gopher_structural_only: bool = False,
         # back on doc_id — redaction is a pure projection, and the join
         # formulation was a self-join (input computed twice + two
         # exchanges + sort-merge) for what one select does
+        # counts from literal marker deltas (_marker_count): each PII
+        # regex runs once, not twice — the redact stage's regex CPU was
+        # the chain's worst scaler at 4M docs (VERDICT r7 #4)
         c = F.col("text")
         no_email = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
         clean = F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
         other = [x for x in df.columns if x not in ("doc_id", "text")]
         return df.select(
             "doc_id", *other, clean.alias("text"),
-            F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")
-            .alias("n_emails"),
-            F.regexp_count(no_email, F.lit(PHONE_RE)).cast("long")
-            .alias("n_phones"))
+            _marker_count(c, no_email, "[EMAIL]").alias("n_emails"),
+            _marker_count(no_email, clean, "[PHONE]").alias("n_phones"))
 
     out = _StageList([("gopher_filter", gopher),
                       ("exact_dedup", dedup_keep_first),
