@@ -77,6 +77,7 @@ def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
     (at 10^12 docs a doc→host map no longer broadcasts; one short
     string per posting row in a cached, column-pruned frame does).
     """
+    import numpy as np
     import pandas as pd
 
     def _gen(batches):
@@ -84,11 +85,18 @@ def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
 
         from ..functions.textprep import PY_TOKEN_SPLIT
         for pdf in batches:
-            ids: list = []
+            # per-DOC accumulators + one np.repeat fan-out per batch:
+            # building the per-POSTING doc_id/dl/host columns as Python
+            # lists ([v] * len(c) extends) costs ~µs per posting — at
+            # 800M postings (4M docs) that alone was ~70 s of the
+            # materialize phase; np.repeat is a C-loop over per-doc
+            # arrays instead.
+            d_ids: list = []
+            d_dls: list = []
+            d_n: list = []
+            d_hosts: list = []
             terms: list = []
             tfs: list = []
-            dls: list = []
-            hosts: list = []
             hseq = pdf[host_col] if host_col else None
             for i, (doc_id, text) in enumerate(
                     zip(pdf[doc_col], pdf[text_col])):
@@ -96,19 +104,23 @@ def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
                             PY_TOKEN_SPLIT.split((text or "").lower()) if t)
                 if not c:
                     continue
-                dl = sum(c.values())
-                ids.extend([doc_id] * len(c))
-                dls.extend([dl] * len(c))
+                d_ids.append(doc_id)
+                d_dls.append(sum(c.values()))
+                d_n.append(len(c))
                 terms.extend(c.keys())
                 tfs.extend(c.values())
                 if hseq is not None:
-                    hosts.extend([hseq.iloc[i]] * len(c))
-            out = {"doc_id": pd.Series(ids, dtype="int64"),
+                    d_hosts.append(hseq.iloc[i])
+            reps = np.asarray(d_n, np.int64)
+            out = {"doc_id": pd.Series(
+                       np.repeat(np.asarray(d_ids, np.int64), reps)),
                    "term": pd.Series(terms, dtype="object"),
                    "tf": pd.Series(tfs, dtype="int64"),
-                   "dl": pd.Series(dls, dtype="int64")}
+                   "dl": pd.Series(
+                       np.repeat(np.asarray(d_dls, np.int64), reps))}
             if host_col:
-                out["host"] = pd.Series(hosts, dtype="object")
+                out["host"] = pd.Series(
+                    np.repeat(np.asarray(d_hosts, dtype=object), reps))
             yield pd.DataFrame(out)
 
     cols = [F.col(doc_col).alias(doc_col), F.col(text_col).alias(text_col)]

@@ -261,8 +261,14 @@ def minhash_lsh_pairs(docs: DataFrame, m: int = 16, bands: int = 4,
     # without this the tokenize+md5+fold pass ran once per job
     # (measured: the whole stage 2× the single-pass cost at 1M docs).
     # ~140 B/doc (doc_id + m longs); blocks are GC-managed with the
-    # returned plan. At true 10^12-doc scale the signature table is a
-    # persisted build artifact instead (like build_ivf's centroids).
+    # returned plan. TRADE-OFFS, stated plainly (ADVICE r7): (a) this
+    # is EAGER — constructing the pairs PLAN runs the signature job
+    # immediately; (b) lineage is truncated, so losing a cached block
+    # mid-join aborts the job instead of recomputing (acceptable for a
+    # single-app batch stage; persist()+count() would keep recompute at
+    # the cost of the same memory). At true 10^12-doc scale neither
+    # applies: the signature table becomes a persisted build artifact
+    # (like build_ivf's centroids) and new shards join against it.
     sig = _minhash_sig_df(docs, m, k, doc_col, text_col).localCheckpoint()
 
     # carry the signature as ONE array column through the band explode

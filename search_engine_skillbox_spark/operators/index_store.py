@@ -300,7 +300,10 @@ class IndexStore:
         # an unmaterialized persist compute it once each.
         doclens = postings.groupBy("doc_id").agg(
             F.max("dl").cast("int").alias("dl"),
-            F.min("host").alias("host")).persist()
+            # every posting of a doc carries the same host — first() is
+            # value-deterministic here and skips min()'s per-row string
+            # compare over the full posting set
+            F.first("host").alias("host")).persist()
         # ONE pre-fork job yields N / Σdl / avgdl AND the per-host doc
         # counts (meta n_docs_by_host — host cardinality is bounded by
         # the meta contract) while filling the doclens cache; avgdl is

@@ -306,6 +306,17 @@ def sessionize_salted(events: DataFrame, gap_minutes: int = 240,
                               wu.rowsBetween(Window.unboundedPreceding,
                                              0)) + 1).cast("long")))
     fmt = "yyyy-MM-dd HH:mm:ss"
+    # KNOWN CAVEAT (ADVICE r7): total_value here sums per-bucket
+    # partials, a different float association order than sessionize()'s
+    # flat per-event sum; the two agree through round(·, 4) on every
+    # gate corpus (hash-pinned two rounds running) but a session whose
+    # exact sum sits within float ulp of a .00005 rounding boundary
+    # could theoretically diverge. Deliberately NOT "fixed" by summing
+    # scaled integers: the oracle contract (round(sum, 4) of DOUBLE)
+    # is frozen, and changing the Spark-side math risks flipping the
+    # very hashes that are currently green. If an event source with
+    # adversarial values appears, compare total_value with tolerance
+    # in the harness instead.
     return (merged.groupBy("user_id", "session_idx")
             .agg(F.sum("n_events").alias("n_events"),
                  F.round(F.sum("_value"), 4).alias("total_value"),

@@ -109,9 +109,16 @@ def kmeans_cells(emb: DataFrame, k: int = 16, n_iter: int = 5,
         seeds = (train.orderBy(F.asc(id_col)).limit(k)
                  .select(vec_col).collect())
         if len(seeds) < k:
+            # ADVICE r7: scope the remedy to the mode that has one —
+            # "raise sample_rate" is meaningless for full-table
+            # training, where the table itself is smaller than k
+            fix = ("raise sample_rate (or lower k)"
+                   if sample_rate is not None else
+                   "lower k (the full table has fewer vectors than k)")
             raise ValueError(
-                f"k-means needs >= k={k} training vectors, sample has "
-                f"{len(seeds)} — raise sample_rate (or lower k)")
+                f"k-means needs >= k={k} training vectors, "
+                f"{'sample' if sample_rate is not None else 'table'} has "
+                f"{len(seeds)} — {fix}")
         cents = [[float(x) for x in r[vec_col]] for r in seeds]
         for _ in range(n_iter):
             assigned = _assign_cells(train, cents, vec_col)

@@ -420,3 +420,60 @@ def test_sessionize_salted_equals_plain(spark):
     # bucket edge did NOT split them)
     assert want[(3, 1)][0] == 2 and want[(3, 2)][0] == 2
     assert (3, 3) not in want
+
+
+def test_external_bench_resume_identity(spark, tmp_path):
+    """VERDICT r7 #7: swapping the EXTERNAL --bench directory at
+    IDENTICAL chain parameters must change clean_corpus's default
+    build_id (via the CLI's extra_sig=_dir_fingerprint(bench_dir)) so
+    stale DONE rows from the previous bench are never served; re-running
+    with the SAME bench must skip every stage."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from search_engine_skillbox_spark.operators.pipeline import (
+        _dir_fingerprint, clean_corpus, default_clean_stages)
+
+    raw = _clean_input(spark, tmp_path, n=120)
+    docs = spark.read.parquet(raw)
+    bench_a = str(tmp_path / "bench_a")
+    bench_b = str(tmp_path / "bench_b")
+    (docs.filter(F.col("doc_id") % 37 == 0)
+     .select(F.col("doc_id").alias("bench_id"), "text")
+     .write.parquet(bench_a))
+    time.sleep(0.01)  # distinct mtime_ns even on coarse filesystems
+    (docs.filter(F.col("doc_id") % 41 == 0)
+     .select(F.col("doc_id").alias("bench_id"), "text")
+     .write.parquet(bench_b))
+
+    work = str(tmp_path / "work_eb")
+
+    def run(bench_dir):
+        stages = default_clean_stages(
+            bench=spark.read.parquet(bench_dir),
+            gopher_structural_only=True)
+        return clean_corpus(spark, raw, work, stages=stages,
+                            extra_sig=_dir_fingerprint(bench_dir))
+
+    res_a = run(bench_a)
+    assert not any(s["skipped"] for s in res_a["stages"])
+
+    # same bench again → every stage served from its DONE row
+    res_a2 = run(bench_a)
+    assert all(s["skipped"] for s in res_a2["stages"])
+    assert res_a2["build_id"] == res_a["build_id"]
+
+    # swapped bench, same params → DIFFERENT build_id, nothing skipped
+    res_b = run(bench_b)
+    assert res_b["build_id"] != res_a["build_id"]
+    assert not any(s["skipped"] for s in res_b["stages"])
+
+    # identical params_sig both ways (both "external-bench") — only the
+    # dir fingerprint separates them, which is exactly the point
+    sig_a = default_clean_stages(bench=spark.read.parquet(bench_a),
+                                 gopher_structural_only=True).params_sig
+    sig_b = default_clean_stages(bench=spark.read.parquet(bench_b),
+                                 gopher_structural_only=True).params_sig
+    assert sig_a == sig_b
