@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..plans.checkpoint import Lineage
 from .build import build_index_frames
-from .codec import encode_postings
+from .codec import BLOCK_SIZE, encode_runs_batch
 
 BLOCKS_SCHEMA = ("term string, salt int, tier int, block_id int, n int, "
                  "max_tf int, first_doc long, last_doc long, docs binary, "
@@ -111,60 +111,131 @@ def make_block_encoder(avgdl: float | None,
     instead of the full run. Exactness is untouched (blocks are still
     just a partition of the run with per-block bounds); doc-ordered
     encoding within each tier keeps delta compression and the
-    [first_doc, last_doc] range lookups valid per tier."""
+    [first_doc, last_doc] range lookups valid per tier.
+
+    Internals (round 8): one VECTORIZED pass per Arrow batch instead of
+    a per-(term,salt)-group loop — group boundaries come from a change
+    scan over the sorted key columns, impact-tier splits reorder only
+    the rare oversized groups, and codec.encode_runs_batch emits every
+    block of the batch with three varint passes total (the encode-side
+    twin of decode_blocks_batch; per-group encode_postings paid its
+    numpy fixed cost per 128-posting block and dominated the encode
+    stage). Output is bit-identical per block; only chunking of the
+    yielded frames differs (one frame per input batch). Equality with
+    the per-group reference is pinned by tests/test_codec_property.py.
+    """
+    def _encode_complete(terms: np.ndarray, salts: np.ndarray,
+                         ids: np.ndarray, tfs: np.ndarray,
+                         dls: np.ndarray,
+                         gstarts: np.ndarray) -> pd.DataFrame:
+        """Encode COMPLETE (term, salt) groups: `gstarts` are group
+        start offsets; arrays are (term, salt, doc_id)-sorted."""
+        n = ids.size
+        gends = np.empty(gstarts.size, np.int64)
+        gends[:-1] = gstarts[1:]
+        gends[-1] = n
+        sizes = gends - gstarts
+        big = np.flatnonzero(sizes > 2 * tier0)
+        if big.size:
+            # impact tiering reorders ONLY the oversized groups: hot =
+            # top-tier0 by (tf desc, doc asc) re-sorted to doc order,
+            # cold = rest in doc order; each tier is its own run with
+            # consecutive block ids.
+            perm = np.arange(n, dtype=np.int64)
+            for gi in big:
+                s, e = int(gstarts[gi]), int(gends[gi])
+                order = np.lexsort((ids[s:e], -tfs[s:e]))
+                perm[s:e] = s + np.concatenate(
+                    (np.sort(order[:tier0]), np.sort(order[tier0:])))
+            ids = ids[perm]
+            tfs = tfs[perm]
+            dls = dls[perm]
+            # runs: one per normal group; hot+cold pair per big group.
+            # Vectorized slot assignment: group g lands at slot
+            # g + (#big groups before g); a big group's cold run takes
+            # the following slot.
+            hot_blocks = -(-tier0 // BLOCK_SIZE)
+            is_big = np.zeros(gstarts.size, np.int64)
+            is_big[big] = 1
+            slot = np.arange(gstarts.size, dtype=np.int64)
+            slot[1:] += np.cumsum(is_big)[:-1]
+            n_runs = gstarts.size + big.size
+            run_starts = np.empty(n_runs, np.int64)
+            run_ends = np.empty(n_runs, np.int64)
+            run_base = np.zeros(n_runs, np.int64)
+            run_tier = np.zeros(n_runs, np.int64)
+            run_gidx = np.empty(n_runs, np.int64)
+            run_starts[slot] = gstarts
+            run_ends[slot] = gends
+            run_gidx[slot] = np.arange(gstarts.size, dtype=np.int64)
+            sh = slot[big]  # hot-run slots; cold runs at sh + 1
+            run_ends[sh] = gstarts[big] + tier0
+            run_starts[sh + 1] = gstarts[big] + tier0
+            run_ends[sh + 1] = gends[big]
+            run_base[sh + 1] = hot_blocks
+            run_tier[sh + 1] = 1
+            run_gidx[sh + 1] = big
+        else:
+            run_starts, run_ends = gstarts, gends
+            run_base = np.zeros(gstarts.size, np.int64)
+            run_tier = run_base
+            run_gidx = np.arange(gstarts.size, dtype=np.int64)
+
+        blk = encode_runs_batch(ids, tfs, dls, run_starts, run_ends,
+                                run_base, avgdl)
+        g_of_block = run_gidx[blk["run_idx"]]
+        out = {"term": pd.Series(terms[gstarts[g_of_block]],
+                                 dtype="object"),
+               "salt": pd.Series(salts[gstarts[g_of_block]]),
+               "tier": pd.Series(run_tier[blk["run_idx"]]),
+               "block_id": pd.Series(blk["block_id"]),
+               "n": pd.Series(blk["n"]),
+               "max_tf": pd.Series(blk["max_tf"]),
+               "first_doc": pd.Series(blk["first_doc"]),
+               "last_doc": pd.Series(blk["last_doc"]),
+               "docs": pd.Series(blk["docs"], dtype="object"),
+               "tfs": pd.Series(blk["tfs"], dtype="object"),
+               "dls": pd.Series(blk["dls"], dtype="object"),
+               "max_imp": (pd.Series(blk["max_imp"])
+                           if blk["max_imp"] is not None else
+                           pd.Series([None] * len(blk["block_id"]),
+                                     dtype="object"))}
+        return pd.DataFrame(out)
+
     def _encode_partition(batches):
-        carry_key: tuple | None = None
-        ids_buf: list[np.ndarray] = []
-        tfs_buf: list[np.ndarray] = []
-        dls_buf: list[np.ndarray] = []
-        out: list[dict] = []
-
-        def flush():
-            nonlocal ids_buf, tfs_buf, dls_buf
-            if carry_key is None:
-                return
-            ids = np.concatenate(ids_buf)
-            tfs = np.concatenate(tfs_buf)
-            dls = np.concatenate(dls_buf)
-            if ids.size > 2 * tier0:
-                # hot = top-tier0 by (tf desc, doc asc), deterministic;
-                # np.sort restores doc order inside each tier (input is
-                # doc-sorted, so positions ARE doc order)
-                order = np.lexsort((ids, -tfs))
-                hot = np.sort(order[:tier0])
-                cold = np.sort(order[tier0:])
-                segments = ((0, ids[hot], tfs[hot], dls[hot]),
-                            (1, ids[cold], tfs[cold], dls[cold]))
-            else:
-                segments = ((0, ids, tfs, dls),)
-            next_id = 0
-            for tier, s_ids, s_tfs, s_dls in segments:
-                for blk in encode_postings(s_ids, s_tfs, s_dls, avgdl,
-                                           start_id=next_id):
-                    out.append({"term": carry_key[0],
-                                "salt": int(carry_key[1]),
-                                "tier": tier, **blk})
-                    next_id = blk["block_id"] + 1
-            ids_buf, tfs_buf, dls_buf = [], [], []
-
+        carry: tuple | None = None  # (terms, salts, ids, tfs, dls)
+        got_any = False
         for pdf in batches:
             if pdf.empty:
                 continue
-            for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
-                key = (term, salt)
-                if key != carry_key:
-                    flush()
-                    carry_key = key
-                ids_buf.append(g["doc_id"].to_numpy(np.int64))
-                tfs_buf.append(g["tf"].to_numpy(np.int64))
-                dls_buf.append(g["dl"].to_numpy(np.int64))
-            if len(out) >= 1024:
-                yield pd.DataFrame(out)
-                out = []
-        flush()
-        if out:
-            yield pd.DataFrame(out)
-        elif carry_key is None:
+            cols = (pdf["term"].to_numpy(dtype=object),
+                    pdf["salt"].to_numpy(np.int64),
+                    pdf["doc_id"].to_numpy(np.int64),
+                    pdf["tf"].to_numpy(np.int64),
+                    pdf["dl"].to_numpy(np.int64))
+            if carry is not None:
+                cols = tuple(np.concatenate((c, b))
+                             for c, b in zip(carry, cols))
+            terms, salts = cols[0], cols[1]
+            change = np.empty(terms.size, bool)
+            change[0] = True
+            change[1:] = ((terms[1:] != terms[:-1])
+                          | (salts[1:] != salts[:-1]))
+            gstarts = np.flatnonzero(change)
+            if gstarts.size == 1:
+                carry = cols  # one (possibly incomplete) group
+                continue
+            # hold back the last group — it may continue in the next
+            # batch (the carry in the old per-group loop)
+            cut = int(gstarts[-1])
+            carry = tuple(c[cut:] for c in cols)
+            yield _encode_complete(*(c[:cut] for c in cols),
+                                   gstarts[:-1])
+            got_any = True
+        if carry is not None and carry[0].size:
+            yield _encode_complete(*carry, np.zeros(1, np.int64))
+            got_any = True
+        if not got_any:
             yield pd.DataFrame(
                 {c: pd.Series(dtype=d) for c, d in [
                     ("term", "object"), ("salt", "int32"),

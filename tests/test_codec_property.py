@@ -115,3 +115,114 @@ def test_threaded_batch_decode_equals_sequential(ids, data):
             assert nd[2] is None and (nd[0] == want[0]).all()
     finally:
         codec.DECODE_THREAD_MIN_POSTINGS = old
+
+
+def _reference_encode_rows(terms, salts, ids, tfs, dls, avgdl, tier0):
+    """The pre-round-8 per-group encoder, kept as the equality oracle
+    for the vectorized batch path: stream-group by (term, salt), split
+    oversized runs into impact tiers, encode each run with
+    encode_postings."""
+    rows = []
+    order = np.lexsort((ids, salts, terms))
+    terms, salts = terms[order], salts[order]
+    ids, tfs, dls = ids[order], tfs[order], dls[order]
+    bounds = [0] + [i for i in range(1, len(terms))
+                    if terms[i] != terms[i - 1]
+                    or salts[i] != salts[i - 1]] + [len(terms)]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        g_ids, g_tfs, g_dls = ids[s:e], tfs[s:e], dls[s:e]
+        if g_ids.size > 2 * tier0:
+            o = np.lexsort((g_ids, -g_tfs))
+            hot = np.sort(o[:tier0])
+            cold = np.sort(o[tier0:])
+            segments = ((0, g_ids[hot], g_tfs[hot], g_dls[hot]),
+                        (1, g_ids[cold], g_tfs[cold], g_dls[cold]))
+        else:
+            segments = ((0, g_ids, g_tfs, g_dls),)
+        next_id = 0
+        for tier, s_ids, s_tfs, s_dls in segments:
+            for blk in encode_postings(s_ids, s_tfs, s_dls, avgdl,
+                                       start_id=next_id):
+                rows.append({"term": terms[s], "salt": int(salts[s]),
+                             "tier": tier, **blk})
+                next_id = blk["block_id"] + 1
+    return rows
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_vectorized_encoder_equals_per_group(data):
+    """make_block_encoder's round-8 vectorized batch path must emit
+    blocks BIT-identical to the per-group encode_postings reference —
+    across group boundaries, Arrow-batch splits (group carry), impact
+    tiers (oversized groups) and the no-avgdl (null max_imp) mode."""
+    import pandas as pd
+
+    from search_engine_skillbox_spark.operators.index_store import (
+        make_block_encoder)
+
+    tier0 = 8  # small tier size so hypothesis-sized runs exercise tiers
+    n_groups = data.draw(st.integers(1, 12))
+    parts = []
+    for g in range(n_groups):
+        size = data.draw(st.integers(1, 40))
+        ids = np.sort(np.array(
+            data.draw(st.lists(i64, min_size=size, max_size=size,
+                               unique=True)), np.int64))
+        parts.append(pd.DataFrame({
+            "term": f"t{g:03d}",
+            "salt": data.draw(st.integers(0, 2)),
+            "doc_id": ids,
+            "tf": np.array(data.draw(st.lists(
+                st.integers(1, 1000), min_size=size, max_size=size)),
+                np.int64),
+            "dl": np.array(data.draw(st.lists(
+                st.integers(1, 5000), min_size=size, max_size=size)),
+                np.int64)}))
+    pdf = (pd.concat(parts, ignore_index=True)
+           .sort_values(["term", "salt", "doc_id"], kind="stable")
+           .reset_index(drop=True))
+    avgdl = data.draw(st.sampled_from([None, 0.0, 321.5]))
+    want = _reference_encode_rows(
+        pdf["term"].to_numpy(object), pdf["salt"].to_numpy(np.int64),
+        pdf["doc_id"].to_numpy(np.int64), pdf["tf"].to_numpy(np.int64),
+        pdf["dl"].to_numpy(np.int64), avgdl, tier0)
+
+    # split the sorted frame into arbitrary consecutive Arrow batches
+    # (groups may straddle batch boundaries → exercises the carry)
+    n = len(pdf)
+    n_cuts = data.draw(st.integers(0, 4))
+    cuts = sorted(set(data.draw(st.lists(
+        st.integers(1, max(1, n - 1)), min_size=n_cuts,
+        max_size=n_cuts))))
+    batches = [pdf.iloc[a:b].reset_index(drop=True)
+               for a, b in zip([0] + cuts, cuts + [n])]
+    enc = make_block_encoder(avgdl, tier0=tier0)
+    got = pd.concat(list(enc(iter(batches))), ignore_index=True)
+
+    assert len(got) == len(want)
+    for i, w in enumerate(want):
+        r = got.iloc[i]
+        for k in ("term", "salt", "tier", "block_id", "n", "max_tf",
+                  "first_doc", "last_doc", "docs", "tfs", "dls"):
+            assert r[k] == w[k], (i, k, r[k], w[k])
+        if w["max_imp"] is None:
+            assert r["max_imp"] is None or (
+                isinstance(r["max_imp"], float) and np.isnan(r["max_imp"]))
+            assert w["max_imp"] is None
+            assert r["max_imp"] is None
+        else:
+            assert float(r["max_imp"]) == w["max_imp"], i
+
+
+def test_vectorized_encoder_empty_partition():
+    from search_engine_skillbox_spark.operators.index_store import (
+        make_block_encoder)
+    import pandas as pd
+    enc = make_block_encoder(100.0)
+    out = list(enc(iter([pd.DataFrame(
+        {"term": [], "salt": [], "doc_id": [], "tf": [], "dl": []})])))
+    assert len(out) == 1 and out[0].empty
+    assert list(out[0].columns) == [
+        "term", "salt", "tier", "block_id", "n", "max_tf",
+        "first_doc", "last_doc", "docs", "tfs", "dls", "max_imp"]
