@@ -53,31 +53,30 @@ def postings_flat(docs: DataFrame, doc_col: str = "doc_id",
     )
 
 
-def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
+def postings_fused_docs(docs: DataFrame, doc_col: str = "doc_id",
                         text_col: str = "text",
                         host_col: str | None = None) -> DataFrame:
-    """(doc_id, term, tf, dl[, host]) in ONE Arrow pass — tokenize AND
-    per-doc tf aggregation inside the Python kernel (PY_TOKEN_SPLIT, the
-    byte-identical twin of the JVM `\\P{L}+` tokenizer; twin equality is
-    pinned by the streaming≡batch test and the index_block_roundtrip /
-    search_wand_topk gate rows, which verify blocks built THROUGH this
-    path against a DuckDB recompute).
+    """(doc_id, dl[, host], terms: array<string>, tfs: array<long>) —
+    ONE row per doc with the tokenize + per-doc tf aggregation done
+    inside the Python kernel (PY_TOKEN_SPLIT, the byte-identical twin
+    of the JVM `\\P{L}+` tokenizer). Docs with zero tokens are dropped
+    (they never enter the index and BM25 never weights them).
 
-    Why it exists: all terms of a doc live in its own input row, so tf
-    needs no (doc_id, term) exchange at all — this is a NARROW
-    transformation. It replaces the two widest shuffles of the physical
-    build: the explode→groupBy(doc,term) exchange (~Σdl rows) and the
-    doc-keyed doclens join that round 2 added to carry dl into every
-    posting for join-free BM25 (dl now rides out of the same kernel).
-    The logical/oracle path (postings_flat) stays JVM-side built-ins.
+    Why per-DOC rather than per-POSTING rows out of the kernel: the
+    Arrow return path is the expensive half of a Python stage, and the
+    flat form repeats doc_id/dl/host once per posting — ~28 B × Σ
+    distinct-terms rows (~15 GB at 4M docs) of pure duplication
+    crossing the boundary, plus the same duplication stored in the
+    build's cached frame. Emitting arrays per doc moves each doc-level
+    value ONCE; the flat posting view is a JVM-side arrays_zip+explode
+    (whole-stage codegen) that recreates the rows only where a consumer
+    needs them. Measured at 4M docs: kernel noop 39.0 → 20.5 s (21.4 s
+    WITH the explode), cache-fill + terms agg 74.6 → 61.6 s, and the
+    doclens dimension stops being an aggregation at all (15.0 → 0.6 s)
+    — it is a column select of this frame.
 
-    host_col: when set, the doc's host rides on every posting row the
-    same way dl does — the build's per-host statistics and the doclens
-    dimension then need NO doc-keyed join back to the corpus at all
-    (at 10^12 docs a doc→host map no longer broadcasts; one short
-    string per posting row in a cached, column-pruned frame does).
-    """
-    import numpy as np
+    Array order is the Counter insertion order (first occurrence in
+    the doc), identical to the row order the flat kernel emitted."""
     import pandas as pd
 
     def _gen(batches):
@@ -85,16 +84,9 @@ def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
 
         from ..functions.textprep import PY_TOKEN_SPLIT
         for pdf in batches:
-            # per-DOC accumulators + one np.repeat fan-out per batch:
-            # building the per-POSTING doc_id/dl/host columns as Python
-            # lists ([v] * len(c) extends) costs ~µs per posting — at
-            # 800M postings (4M docs) that alone was ~70 s of the
-            # materialize phase; np.repeat is a C-loop over per-doc
-            # arrays instead.
-            d_ids: list = []
-            d_dls: list = []
-            d_n: list = []
-            d_hosts: list = []
+            ids: list = []
+            dls: list = []
+            hosts: list = []
             terms: list = []
             tfs: list = []
             hseq = pdf[host_col] if host_col else None
@@ -102,38 +94,78 @@ def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
                     zip(pdf[doc_col], pdf[text_col])):
                 # Counter(list) takes the C fast path; a `+` split
                 # pattern can only yield empty strings at the run's
-                # ends, so popping '' afterwards is exactly the old
+                # ends, so popping '' afterwards is exactly a
                 # per-token `if t` filter (measured ~1.2× on the
                 # tokenize+count loop, the kernel's dominant cost)
                 c = Counter(PY_TOKEN_SPLIT.split((text or "").lower()))
                 c.pop("", None)
                 if not c:
                     continue
-                d_ids.append(doc_id)
-                d_dls.append(sum(c.values()))
-                d_n.append(len(c))
-                terms.extend(c.keys())
-                tfs.extend(c.values())
+                ids.append(doc_id)
+                dls.append(sum(c.values()))
+                terms.append(list(c.keys()))
+                tfs.append(list(c.values()))
                 if hseq is not None:
-                    d_hosts.append(hseq.iloc[i])
-            reps = np.asarray(d_n, np.int64)
-            out = {"doc_id": pd.Series(
-                       np.repeat(np.asarray(d_ids, np.int64), reps)),
-                   "term": pd.Series(terms, dtype="object"),
-                   "tf": pd.Series(tfs, dtype="int64"),
-                   "dl": pd.Series(
-                       np.repeat(np.asarray(d_dls, np.int64), reps))}
+                    hosts.append(hseq.iloc[i])
+            out = {"doc_id": pd.Series(ids, dtype="int64"),
+                   "dl": pd.Series(dls, dtype="int64")}
             if host_col:
-                out["host"] = pd.Series(
-                    np.repeat(np.asarray(d_hosts, dtype=object), reps))
+                out["host"] = pd.Series(hosts, dtype="object")
+            out["terms"] = pd.Series(terms, dtype="object")
+            out["tfs"] = pd.Series(tfs, dtype="object")
             yield pd.DataFrame(out)
 
     cols = [F.col(doc_col).alias(doc_col), F.col(text_col).alias(text_col)]
-    schema = "doc_id long, term string, tf long, dl long"
+    schema = "doc_id long, dl long"
     if host_col:
         cols.append(F.col(host_col).alias(host_col))
         schema += ", host string"
+    schema += ", terms array<string>, tfs array<long>"
     return docs.select(*cols).mapInPandas(_gen, schema)
+
+
+def explode_postings(docs_fused: DataFrame,
+                     with_host: bool = False) -> DataFrame:
+    """Flat (doc_id, term, tf, dl[, host]) posting view over a
+    postings_fused_docs frame — JVM-side arrays_zip + explode, fully
+    codegen'd; row order per doc is the arrays' order (= the flat
+    kernel's historical emit order)."""
+    cols = ["doc_id", "dl"] + (["host"] if with_host else [])
+    z = docs_fused.select(*cols,
+                          F.explode(F.arrays_zip("terms", "tfs"))
+                          .alias("p"))
+    return z.select("doc_id", F.col("p.terms").alias("term"),
+                    F.col("p.tfs").alias("tf"), "dl",
+                    *(["host"] if with_host else []))
+
+
+def postings_flat_fused(docs: DataFrame, doc_col: str = "doc_id",
+                        text_col: str = "text",
+                        host_col: str | None = None) -> DataFrame:
+    """(doc_id, term, tf, dl[, host]) in ONE Arrow pass — tokenize AND
+    per-doc tf aggregation inside the Python kernel (byte-identical
+    twin equality is pinned by the streaming≡batch test and the
+    index_block_roundtrip / search_wand_topk gate rows, which verify
+    blocks built THROUGH this path against a DuckDB recompute).
+
+    Why it exists: all terms of a doc live in its own input row, so tf
+    needs no (doc_id, term) exchange at all — this is a NARROW
+    transformation. It replaces the two widest shuffles of the physical
+    build: the explode→groupBy(doc,term) exchange (~Σdl rows) and the
+    doc-keyed doclens join that round 2 added to carry dl into every
+    posting for join-free BM25. The logical/oracle path (postings_flat)
+    stays JVM-side built-ins.
+
+    Since round 8 this is a thin flat view (explode_postings) over the
+    per-doc kernel (postings_fused_docs — see its docstring for why
+    doc-level values cross the Python boundary once, not per posting).
+
+    host_col: when set, the doc's host rides on every posting row the
+    same way dl does — the build's per-host statistics and the doclens
+    dimension then need NO doc-keyed join back to the corpus at all."""
+    return explode_postings(
+        postings_fused_docs(docs, doc_col, text_col, host_col),
+        with_host=host_col is not None)
 
 
 def doc_lengths(docs: DataFrame, doc_col: str = "doc_id",

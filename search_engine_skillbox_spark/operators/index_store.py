@@ -304,23 +304,33 @@ class IndexStore:
         test hook to simulate a crash mid-build.
 
         fused=True tokenizes + tf-aggregates in one Arrow kernel
-        (build.postings_flat_fused): postings are born WITH dl, so the
-        (doc,term) groupBy exchange and the doc-keyed doclens join both
-        disappear from the plan. fused=False keeps the JVM explode →
-        groupBy → doclens-join dataflow (A/B + oracle-shaped twin).
+        (build.postings_fused_docs): ONE cached row per doc carrying
+        dl, host and the (terms, tfs) arrays, so the (doc,term) groupBy
+        exchange and the doc-keyed doclens join both disappear from the
+        plan, doc-level values cross the Python boundary once instead
+        of once per posting, and the doclens dimension is a column
+        SELECT of the cache (no aggregation). Flat posting rows are a
+        JVM-side explode view materialized only where consumed.
+        fused=False keeps the JVM explode → groupBy → doclens-join
+        dataflow (A/B + oracle-shaped twin).
         """
         lineage = Lineage(os.path.join(self.path, "lineage.jsonl"))
         done = lineage.done_partitions(build_id)
 
+        docs_fused: DataFrame | None = None
         if fused:
-            from .build import postings_flat_fused
+            from .build import explode_postings, postings_fused_docs
             # host rides out of the kernel with dl: the doclens
             # dimension and the per-host stats below then never join
             # back to the corpus (two doc-keyed joins removed from the
             # round-7 plan; the host column is projected away before
-            # the (term, salt) block exchange).
-            postings = postings_flat_fused(prepared,
-                                           host_col="host").persist()
+            # the (term, salt) block exchange). The CACHE holds the
+            # per-doc array form (~40 % smaller than flat posting rows
+            # — no repeated doc_id/dl/host); every flat consumer
+            # re-derives rows via codegen'd explode at scan time.
+            docs_fused = postings_fused_docs(prepared,
+                                             host_col="host").persist()
+            postings = explode_postings(docs_fused, with_host=True)
         else:
             p = build_index_frames(prepared)[0]
             dls = p.groupBy("doc_id").agg(
@@ -350,8 +360,9 @@ class IndexStore:
         # Materialize the caches before the dims/blocks threads fork: two
         # lazy threads racing an unmaterialized persist() compute the whole
         # lineage twice (observed as duplicated 128-task stages). ONE job
-        # suffices — computing terms scans postings (which scans prepared),
-        # so all three caches fill in the same pass. Lineage-timed so the
+        # suffices — computing terms scans the posting source (docs_fused
+        # in fused mode, flat postings otherwise), which scans prepared,
+        # so every cache fills in the same pass. Lineage-timed so the
         # scaling report can decompose the serial tail per phase.
         t_mat = lineage.start(build_id, "materialize")
         # one agg fills the cache AND yields the dashboard lemma count
@@ -362,22 +373,28 @@ class IndexStore:
         n_terms_total = int(_mrow["n"])
         max_df = int(_mrow["mdf"] or 0)
         lineage.done(build_id, "materialize", t_mat, rows=0, nbytes=0)
-        # dl and host already ride on every posting row — the doclens
-        # dimension is a cheap per-doc agg over the cache (map-side
-        # combine; docs never span input partitions), born WITH host so
-        # its parquet write needs no corpus join. Zero-term docs have no
-        # postings and BM25 never weights them. Materialized HERE
-        # (before the dims/blocks threads fork): concurrent readers of
-        # an unmaterialized persist compute it once each.
-        doclens = postings.groupBy("doc_id").agg(
-            F.max("dl").cast("int").alias("dl"),
-            # every posting of a doc carries the same host — first() is
-            # value-deterministic here and skips min()'s per-row string
-            # compare over the full posting set
-            F.first("host").alias("host")).persist()
+        # The doclens dimension (doc_id, dl, host): in fused mode the
+        # cache already holds ONE row per doc, so this is a column
+        # SELECT — no aggregation, no separate persist (each scan is a
+        # cheap projection of the docs_fused cache; measured 0.6 s at
+        # 4M docs vs 15.0 s for the flat-row groupBy it replaces). The
+        # non-fused twin keeps the per-doc agg over flat posting rows
+        # (map-side combine; docs never span input partitions).
+        # Zero-term docs have no row and BM25 never weights them.
+        if docs_fused is not None:
+            doclens = docs_fused.select(
+                "doc_id", F.col("dl").cast("int").alias("dl"), "host")
+        else:
+            doclens = postings.groupBy("doc_id").agg(
+                F.max("dl").cast("int").alias("dl"),
+                # every posting of a doc carries the same host —
+                # first() is value-deterministic here and skips min()'s
+                # per-row string compare over the full posting set
+                F.first("host").alias("host")).persist()
         # ONE pre-fork job yields N / Σdl / avgdl AND the per-host doc
         # counts (meta n_docs_by_host — host cardinality is bounded by
-        # the meta contract) while filling the doclens cache; avgdl is
+        # the meta contract); in fused mode it aggregates n_docs rows
+        # (the per-doc cache projection), not posting rows. avgdl is
         # the impact basis the block encoder stamps into max_imp (BM25
         # block pruning). Round 7 ran a global agg here plus a separate
         # per-host countDistinct-over-postings job in the dims phase.
@@ -703,9 +720,12 @@ class IndexStore:
 
         if encoded_all is not None:
             encoded_all.unpersist()
-        postings.unpersist()
+        if docs_fused is not None:
+            docs_fused.unpersist()  # fused: postings/doclens are views
+        else:
+            postings.unpersist()
+            doclens.unpersist()
         terms_full.unpersist()
-        doclens.unpersist()
         self.invalidate_reads()
         return self.meta()
 

@@ -65,18 +65,33 @@ def main() -> None:
     write("prepare_pages", "corpus -> deduped pages with identity cols",
           grab(prepared))
 
-    # 2. fused postings kernel (round 8: carries host)
-    try:
-        postings = B.postings_flat_fused(prepared, host_col="host")
-    except TypeError:  # round-7 signature
-        postings = B.postings_flat_fused(prepared)
-    postings = postings.persist()
-    postings.count()
-    write("build_postings_fused", "tokenize+tf one Arrow pass",
+    # 2. fused postings kernel (round 8: carries host; session 2: the
+    # kernel emits ONE row per doc and the flat view is a JVM explode)
+    docs_fused = None
+    if hasattr(B, "postings_fused_docs"):
+        docs_fused = B.postings_fused_docs(prepared,
+                                           host_col="host").persist()
+        docs_fused.count()
+        postings = B.explode_postings(docs_fused, with_host=True)
+    else:
+        try:
+            postings = B.postings_flat_fused(prepared, host_col="host")
+        except TypeError:  # round-7 signature
+            postings = B.postings_flat_fused(prepared)
+        postings = postings.persist()
+        postings.count()
+    write("build_postings_fused", "tokenize+tf one Arrow pass"
+          + (" (per-doc kernel + explode view)" if docs_fused is not None
+             else ""),
           grab(postings))
 
-    # 3. doclens dimension write input (round 8: no corpus join)
-    if "host" in postings.columns:
+    # 3. doclens dimension write input (round 8: no corpus join;
+    # session 2: no aggregation at all — a select of the per-doc cache)
+    if docs_fused is not None:
+        doclens = docs_fused.select(
+            "doc_id", F.col("dl").cast("int").alias("dl"), "host")
+        dl_plan = doclens
+    elif "host" in postings.columns:
         doclens = postings.groupBy("doc_id").agg(
             F.max("dl").cast("int").alias("dl"),
             F.min("host").alias("host"))
