@@ -624,20 +624,32 @@ class IndexStore:
         # frame, then each group writes its slice from the cache. Group
         # atomicity is untouched (same per-group writes + lineage rows;
         # a crash still leaves a resumable subset). LARGE builds keep
-        # the per-group streaming pipelines: persisting the whole
-        # encoded index before writing would double its memory/disk
-        # traffic, and at that scale the per-group fixed cost is noise
-        # (the 8M/16M scaling evidence rides the streaming path).
+        # the per-group streaming pipelines — MEASURED at 4M docs
+        # (round 8 session 2): each group's exchange already carries
+        # only that group's bucket slice, so the shared pass moves the
+        # same total bytes and the wall is identical (253.8 s shared vs
+        # 230.8-253.7 s streaming) while the extra encoded cache pushed
+        # a 16 GB local driver toward heap OOM. Raising the gate via
+        # env therefore buys nothing at this shape; if raised anyway,
+        # the cache tier above SPARK_GRAFT_SHARED_ENCODE_MEM_DOCS
+        # (default 2M) is DISK_ONLY so encoded batches never compete
+        # for heap with the corpus + per-doc caches.
         small_docs = int(os.environ.get(
+            "SPARK_GRAFT_SHARED_ENCODE_MEM_DOCS", "2000000"))
+        shared_docs = int(os.environ.get(
             "SPARK_GRAFT_SHARED_ENCODE_MAX_DOCS", "2000000"))
         undone_buckets = [b for gi, bs in enumerate(groups)
                           if f"blocks-g{gi}" not in done for b in bs]
         encoded_all: DataFrame | None = None
         if len(groups) > 1 and undone_buckets \
-                and n_docs_total <= small_docs:
+                and n_docs_total <= shared_docs:
+            from pyspark import StorageLevel
+            lvl = (StorageLevel.MEMORY_AND_DISK
+                   if n_docs_total <= small_docs
+                   else StorageLevel.DISK_ONLY)
             encoded_all = encode_pipeline(
                 salted.filter(F.col("bucket").isin(undone_buckets))
-            ).persist()
+            ).persist(lvl)
             # materialize BEFORE the group threads fork — concurrent
             # readers of an unmaterialized persist compute it once each
             encoded_all.count()
@@ -719,12 +731,18 @@ class IndexStore:
             dims_pool.shutdown()
 
         if encoded_all is not None:
-            encoded_all.unpersist()
+            # blocking: the build's caches are corpus-scale — release
+            # their blocks BEFORE the caller's next job allocates, so
+            # a 16 GB local driver isn't holding two generations of
+            # cache across the boundary (post-build heap OOM observed
+            # at 4M with async unpersist + the shared encoded cache)
+            encoded_all.unpersist(blocking=True)
         if docs_fused is not None:
-            docs_fused.unpersist()  # fused: postings/doclens are views
+            # fused: postings/doclens are views over this one cache
+            docs_fused.unpersist(blocking=True)
         else:
-            postings.unpersist()
-            doclens.unpersist()
+            postings.unpersist(blocking=True)
+            doclens.unpersist(blocking=True)
         terms_full.unpersist()
         self.invalidate_reads()
         return self.meta()
