@@ -89,7 +89,10 @@ def postings_fused_docs(docs: DataFrame, doc_col: str = "doc_id",
             hosts: list = []
             terms: list = []
             tfs: list = []
-            hseq = pdf[host_col] if host_col else None
+            # plain list, not a pandas Series: .iloc in the doc loop is
+            # ~µs of indexing overhead per doc — the per-element cost
+            # class this kernel exists to avoid
+            hseq = pdf[host_col].tolist() if host_col else None
             for i, (doc_id, text) in enumerate(
                     zip(pdf[doc_col], pdf[text_col])):
                 # Counter(list) takes the C fast path; a `+` split
@@ -106,7 +109,7 @@ def postings_fused_docs(docs: DataFrame, doc_col: str = "doc_id",
                 terms.append(list(c.keys()))
                 tfs.append(list(c.values()))
                 if hseq is not None:
-                    hosts.append(hseq.iloc[i])
+                    hosts.append(hseq[i])
             out = {"doc_id": pd.Series(ids, dtype="int64"),
                    "dl": pd.Series(dls, dtype="int64")}
             if host_col:

@@ -387,10 +387,13 @@ class IndexStore:
         else:
             doclens = postings.groupBy("doc_id").agg(
                 F.max("dl").cast("int").alias("dl"),
-                # every posting of a doc carries the same host —
-                # first() is value-deterministic here and skips min()'s
-                # per-row string compare over the full posting set
-                F.first("host").alias("host")).persist()
+                # min(), not first(): every posting of a doc SHOULD
+                # carry one host, but this twin path attaches host via
+                # a doc_id join, and a doc_id hash collision (two
+                # url_norms → one id) would make first() run-order
+                # nondeterministic where min() stays reproducible; the
+                # per-row string compare only runs on this A/B path
+                F.min("host").alias("host")).persist()
         # ONE pre-fork job yields N / Σdl / avgdl AND the per-host doc
         # counts (meta n_docs_by_host — host cardinality is bounded by
         # the meta contract); in fused mode it aggregates n_docs rows

@@ -565,7 +565,19 @@ def clean_corpus(spark, input_path: str, workdir: str,
     cur = input_path
     for i, (name, fn) in enumerate(stages):
         out = os.path.join(workdir, f"{i:02d}_{name}")
-        if name in done and os.path.exists(os.path.join(out, "_SUCCESS")):
+        # Skip only when the DONE row's build matches the build that
+        # LAST WROTE the directory: stage dirs are shared across
+        # build_ids within a workdir, so a lineage DONE row alone can
+        # pair with another build's _SUCCESS (run bench A, then B, then
+        # A again — A's DONE rows would otherwise serve B's outputs).
+        # The _BUILD_ID marker is written after the parquet commit and
+        # before the DONE row; overwrite-mode writes wipe it with the
+        # dir, so it always names the last writer.
+        marker = os.path.join(out, "_BUILD_ID")
+        if (name in done
+                and os.path.exists(os.path.join(out, "_SUCCESS"))
+                and os.path.exists(marker)
+                and open(marker).read() == build_id):
             rows, nbytes = _parquet_stats(out)
             results.append({"stage": name, "path": out, "sec": 0.0,
                             "skipped": True, "rows_out": rows,
@@ -575,6 +587,8 @@ def clean_corpus(spark, input_path: str, workdir: str,
         t0 = lin.start(build_id, name)
         try:
             fn(spark.read.parquet(cur)).write.mode("overwrite").parquet(out)
+            with open(marker, "w") as mf:
+                mf.write(build_id)
             rows, nbytes = _parquet_stats(out)
             lin.done(build_id, name, t0, rows, nbytes)
         except Exception as e:

@@ -427,8 +427,9 @@ def test_external_bench_resume_identity(spark, tmp_path):
     IDENTICAL chain parameters must change clean_corpus's default
     build_id (via the CLI's extra_sig=_dir_fingerprint(bench_dir)) so
     stale DONE rows from the previous bench are never served; re-running
-    with the SAME bench must skip every stage."""
-    import os
+    with the SAME bench must skip every stage; and returning to a
+    PREVIOUS bench (A -> B -> A) must RE-RUN, because the shared stage
+    dirs now hold B's outputs even though A's DONE rows still exist."""
     import time
 
     from pyspark.sql import functions as F
@@ -443,7 +444,10 @@ def test_external_bench_resume_identity(spark, tmp_path):
     (docs.filter(F.col("doc_id") % 37 == 0)
      .select(F.col("doc_id").alias("bench_id"), "text")
      .write.parquet(bench_a))
-    time.sleep(0.01)  # distinct mtime_ns even on coarse filesystems
+    # (fingerprint distinctness does not rest on mtime: the two dirs
+    # differ in file names and row counts, both hashed by
+    # _dir_fingerprint; the pause only keeps the listing stable)
+    time.sleep(0.01)
     (docs.filter(F.col("doc_id") % 41 == 0)
      .select(F.col("doc_id").alias("bench_id"), "text")
      .write.parquet(bench_b))
@@ -469,6 +473,16 @@ def test_external_bench_resume_identity(spark, tmp_path):
     res_b = run(bench_b)
     assert res_b["build_id"] != res_a["build_id"]
     assert not any(s["skipped"] for s in res_b["stages"])
+
+    # A -> B -> A: A's DONE rows still exist in lineage.jsonl AND the
+    # stage dirs carry B-written _SUCCESS markers — without the
+    # per-dir _BUILD_ID check this silently served B's outputs as A's.
+    # Must re-run every stage and reproduce A's original results.
+    res_a3 = run(bench_a)
+    assert res_a3["build_id"] == res_a["build_id"]
+    assert not any(s["skipped"] for s in res_a3["stages"])
+    assert ([s["rows_out"] for s in res_a3["stages"]]
+            == [s["rows_out"] for s in res_a["stages"]])
 
     # identical params_sig both ways (both "external-bench") — only the
     # dir fingerprint separates them, which is exactly the point
